@@ -1,0 +1,261 @@
+"""One renderer core, many heads.
+
+The reference carries 8 near-duplicate `render_image_*` functions
+(examples/utils.py:65-1095). Here a single packed-sample compositor is
+shared by thin stage-specific providers:
+
+  * render_rays_occgrid   — occ-grid march + radiance field (stage 1
+    train/eval; reference utils.py:65-172).
+  * render_rays_field     — same march + forward AND reverse weights for
+    quadrature-field supervision (stage 2; reference utils.py:353-462 +
+    field_rendering.py:575-733).
+  * mesh-hit quadrature rendering lives in render/quadrature.py (stages
+    4-6).
+
+All functions are jit-friendly: static shapes, packed buffers with
+sentinel padding, masks instead of boolean indexing.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.ngp import NGPConfig, ngp_forward
+from ..ops import scan
+from ..ops.grid import (
+    OccGridState,
+    PackedSamples,
+    occ_grid_sampling,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    render_step_size: float = 5e-3
+    near_plane: float = 0.0
+    far_plane: float = 1e10
+    alpha_thre: float = 0.0
+    early_stop_eps: float = 1e-4
+    cone_angle: float = 0.0  # 0 for synthetic; >0 unsupported yet
+    max_steps: int = 1024        # static per-ray march length
+    max_samples_total: int = 1 << 18  # static packed sample budget
+
+
+class RenderResult(NamedTuple):
+    rgb: jnp.ndarray        # [n_rays, 3]
+    opacity: jnp.ndarray    # [n_rays, 1]
+    depth: jnp.ndarray      # [n_rays, 1]
+    num_valid: jnp.ndarray  # [] int32 — true sample demand
+    weights: jnp.ndarray    # [S]
+    sigmas: jnp.ndarray     # [S]
+    samples: PackedSamples
+
+
+def _composite(
+    samples: PackedSamples,
+    rgbs,
+    sigmas,
+    n_rays: int,
+    render_bkgd,
+    early_stop_eps: float,
+    alpha_thre: float,
+):
+    """Packed weights -> per-ray color/opacity/depth (+ background)."""
+    sigmas = jnp.where(samples.valid, sigmas, 0.0)
+    boundaries = scan.mark_pack_boundaries(samples.ray_indices)
+    weights, trans, alphas = scan.render_weight_from_density(
+        samples.t_starts, samples.t_ends, sigmas, boundaries
+    )
+    # nerfacc prunes invisible samples during sampling
+    # (render_visibility_from_density); folding the same thresholds into
+    # the weights is equivalent for the composite.
+    vis = trans >= early_stop_eps
+    if alpha_thre > 0:
+        vis = vis & (alphas >= alpha_thre)
+    weights = jnp.where(vis & samples.valid, weights, 0.0)
+
+    colors = scan.accumulate_along_rays(
+        weights, samples.ray_indices, rgbs, n_rays
+    )
+    opacity = scan.accumulate_along_rays(
+        weights, samples.ray_indices, None, n_rays
+    )
+    t_mid = (samples.t_starts + samples.t_ends) / 2.0
+    depth = scan.accumulate_along_rays(
+        weights, samples.ray_indices, t_mid[..., None], n_rays
+    )
+    depth = depth / jnp.clip(opacity, min=1e-10)
+    if render_bkgd is not None:
+        colors = colors + render_bkgd * (1.0 - opacity)
+    return colors, opacity, depth, weights
+
+
+def _sample_positions(samples: PackedSamples, origins, viewdirs, n_rays):
+    idx = jnp.clip(samples.ray_indices, 0, n_rays - 1)
+    t_mid = (samples.t_starts + samples.t_ends)[:, None] / 2.0
+    pos = origins[idx] + viewdirs[idx] * t_mid
+    return pos, viewdirs[idx], idx
+
+
+def render_rays_occgrid(
+    ngp_params,
+    aabb,
+    ngp_cfg: NGPConfig,
+    occ_state: OccGridState,
+    origins,
+    viewdirs,
+    rcfg: RenderConfig,
+    render_bkgd=None,
+    stratified: bool = False,
+    key=None,
+) -> RenderResult:
+    """Volumetric rendering with occupancy-grid sampling (stage-1 path).
+
+    Reference: render_image_with_occgrid (utils.py:65-172).
+    """
+    n_rays = origins.shape[0]
+    samples = occ_grid_sampling(
+        occ_state,
+        origins,
+        viewdirs,
+        render_step_size=rcfg.render_step_size,
+        max_steps=rcfg.max_steps,
+        max_samples_total=rcfg.max_samples_total,
+        near_plane=rcfg.near_plane,
+        far_plane=rcfg.far_plane,
+        stratified=stratified,
+        key=key,
+    )
+    pos, dirs, _ = _sample_positions(samples, origins, viewdirs, n_rays)
+    rgbs, sigmas = ngp_forward(ngp_params, pos, dirs, aabb, ngp_cfg)
+    sigmas = sigmas[..., 0]
+    colors, opacity, depth, weights = _composite(
+        samples, rgbs, sigmas, n_rays, render_bkgd,
+        rcfg.early_stop_eps, rcfg.alpha_thre,
+    )
+    return RenderResult(
+        rgb=colors,
+        opacity=opacity,
+        depth=depth,
+        num_valid=samples.num_valid,
+        weights=weights,
+        sigmas=jnp.where(samples.valid, sigmas, 0.0),
+        samples=samples,
+    )
+
+
+class FieldRenderResult(NamedTuple):
+    rgb: jnp.ndarray
+    opacity: jnp.ndarray
+    depth: jnp.ndarray
+    num_valid: jnp.ndarray
+    weights: jnp.ndarray      # [S] forward weights
+    weights_rev: jnp.ndarray  # [S] reverse-direction weights
+    positions: jnp.ndarray    # [S, 3] world sample positions
+    dirs: jnp.ndarray         # [S, 3]
+    valid: jnp.ndarray        # [S]
+
+
+def render_rays_field(
+    ngp_params,
+    aabb,
+    ngp_cfg: NGPConfig,
+    occ_state: OccGridState,
+    origins,
+    viewdirs,
+    rcfg: RenderConfig,
+    render_bkgd=None,
+    stratified: bool = False,
+    key=None,
+) -> FieldRenderResult:
+    """Stage-2 render: forward + reverse rendering weights at each
+    sample, used to supervise |grad(field) . dir|.
+
+    Reference: render_image_field_with_occgrid (utils.py:353-462) and
+    rendering_field (field_rendering.py:575-733). Uses
+    early_stop_eps=1e-4 'so that more points are supervised'
+    (utils.py:432).
+    """
+    n_rays = origins.shape[0]
+    samples = occ_grid_sampling(
+        occ_state,
+        origins,
+        viewdirs,
+        render_step_size=rcfg.render_step_size,
+        max_steps=rcfg.max_steps,
+        max_samples_total=rcfg.max_samples_total,
+        near_plane=rcfg.near_plane,
+        far_plane=rcfg.far_plane,
+        stratified=stratified,
+        key=key,
+    )
+    pos, dirs, _ = _sample_positions(samples, origins, viewdirs, n_rays)
+    rgbs, sigmas = ngp_forward(ngp_params, pos, dirs, aabb, ngp_cfg)
+    sigmas = jnp.where(samples.valid, sigmas[..., 0], 0.0)
+
+    colors, opacity, depth, weights = _composite(
+        samples, rgbs, sigmas, n_rays, render_bkgd,
+        rcfg.early_stop_eps, rcfg.alpha_thre,
+    )
+    weights_rev = scan.reverse_weights(
+        samples.t_starts,
+        samples.t_ends,
+        sigmas,
+        samples.ray_indices,
+        n_rays,
+        samples.valid,
+    )
+    weights_rev = jnp.where(samples.valid, weights_rev, 0.0)
+    return FieldRenderResult(
+        rgb=colors,
+        opacity=opacity,
+        depth=depth,
+        num_valid=samples.num_valid,
+        weights=weights,
+        weights_rev=weights_rev,
+        positions=pos,
+        dirs=dirs,
+        valid=samples.valid,
+    )
+
+
+def render_image_with_occgrid(
+    render_fn_jitted,
+    origins,
+    viewdirs,
+    chunk: int = 8192,
+):
+    """Host-side chunked full-image render: pads the ray set to a
+    multiple of `chunk` and maps a jitted per-chunk renderer over it
+    (the TPU analog of the reference's test_chunk_size loop,
+    utils.py:127-134). `render_fn_jitted(origins, viewdirs)` must return
+    a RenderResult-like tuple whose first 3 fields are per-ray."""
+    import numpy as np
+
+    n = origins.shape[0]
+    n_pad = (n + chunk - 1) // chunk * chunk
+    o = np.concatenate(
+        [np.asarray(origins), np.zeros((n_pad - n, 3), np.float32)]
+    )
+    d = np.concatenate(
+        [np.asarray(viewdirs), np.tile([[0, 0, 1.0]], (n_pad - n, 1))]
+    ).astype(np.float32)
+    rgbs, opas, depths = [], [], []
+    total = 0
+    for i in range(0, n_pad, chunk):
+        res = render_fn_jitted(
+            jnp.asarray(o[i : i + chunk]), jnp.asarray(d[i : i + chunk])
+        )
+        rgbs.append(np.asarray(res[0]))
+        opas.append(np.asarray(res[1]))
+        depths.append(np.asarray(res[2]))
+        total += int(res[3])
+    return (
+        np.concatenate(rgbs)[:n],
+        np.concatenate(opas)[:n],
+        np.concatenate(depths)[:n],
+        total,
+    )

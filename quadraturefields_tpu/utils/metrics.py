@@ -1,0 +1,65 @@
+"""Image metrics + losses (PSNR / SSIM / smooth-L1).
+
+The reference evaluates PSNR via -10 log10(mse)
+(train_ngp_nerf_sg_occ.py:348-349), SSIM via torchmetrics
+StructuralSimilarityIndexMeasure (gaussian kernel 11, sigma 1.5,
+data_range 1), and LPIPS via lpips VGG (see utils/lpips.py for the
+gated port). Losses follow torch.nn.functional.smooth_l1_loss
+(beta=1.0).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def mse(a, b):
+    return jnp.mean((a - b) ** 2)
+
+
+def psnr(a, b):
+    return -10.0 * jnp.log(mse(a, b)) / jnp.log(10.0)
+
+
+def smooth_l1_loss(pred, target, beta: float = 1.0):
+    d = jnp.abs(pred - target)
+    loss = jnp.where(d < beta, 0.5 * d**2 / beta, d - 0.5 * beta)
+    return jnp.mean(loss)
+
+
+def _gaussian_kernel(size=11, sigma=1.5):
+    x = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
+    g = np.exp(-0.5 * (x / sigma) ** 2)
+    g /= g.sum()
+    return jnp.asarray(np.outer(g, g), jnp.float32)
+
+
+def ssim(img0, img1, max_val: float = 1.0, kernel_size=11, sigma=1.5):
+    """Mean SSIM over channels, gaussian-windowed (torchmetrics
+    defaults). Inputs: [H, W, C] in [0, max_val]."""
+    kernel = _gaussian_kernel(kernel_size, sigma)
+    kernel = kernel[:, :, None, None]  # HWIO
+
+    def filt(x):
+        # x: [H, W, C] -> depthwise conv
+        x = jnp.transpose(x, (2, 0, 1))[:, None]  # [C,1,H,W]
+        out = jax.lax.conv_general_dilated(
+            x,
+            jnp.transpose(kernel, (2, 3, 0, 1)),  # OIHW
+            window_strides=(1, 1),
+            padding="VALID",
+        )
+        return jnp.transpose(out[:, 0], (1, 2, 0))
+
+    mu0 = filt(img0)
+    mu1 = filt(img1)
+    mu00, mu11, mu01 = mu0 * mu0, mu1 * mu1, mu0 * mu1
+    s00 = filt(img0 * img0) - mu00
+    s11 = filt(img1 * img1) - mu11
+    s01 = filt(img0 * img1) - mu01
+    c1 = (0.01 * max_val) ** 2
+    c2 = (0.03 * max_val) ** 2
+    num = (2 * mu01 + c1) * (2 * s01 + c2)
+    den = (mu00 + mu11 + c1) * (s00 + s11 + c2)
+    return jnp.mean(num / den)

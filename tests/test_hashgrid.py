@@ -1,0 +1,123 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quadraturefields_tpu.ops.hashgrid import (
+    HashGridConfig,
+    hashgrid_encode,
+    hashgrid_init,
+)
+
+
+def small_cfg():
+    return HashGridConfig(
+        n_levels=4,
+        n_features=2,
+        log2_hashmap_size=10,
+        base_resolution=4,
+        per_level_scale=2.0,
+    )
+
+
+def test_config_geometry():
+    cfg = HashGridConfig.from_max_resolution(
+        4096, n_levels=16, base_resolution=16
+    )
+    # reference derivation: growth = exp((ln 4096 - ln 16)/15)
+    assert np.isclose(cfg.per_level_scale, np.exp(np.log(256.0) / 15))
+    res = cfg.level_resolutions
+    assert res[0] == 16
+    assert res[-1] >= 4096
+    # low levels dense, high levels hashed at 2^19
+    assert cfg.level_sizes[0] == (16**3 + 7) // 8 * 8
+    assert cfg.level_sizes[-1] == 1 << 19
+
+
+def test_encode_shapes_and_dtype():
+    cfg = small_cfg()
+    key = jax.random.PRNGKey(0)
+    table = hashgrid_init(key, cfg)
+    x = jax.random.uniform(key, (37, 3))
+    out = hashgrid_encode(table, x, cfg)
+    assert out.shape == (37, cfg.output_dim)
+
+
+def test_encode_trilinear_interpolation_exact():
+    """On a single dense level, the encoding must be the exact trilerp of
+    the 8 surrounding corner features."""
+    cfg = HashGridConfig(
+        n_levels=1, n_features=1, log2_hashmap_size=12,
+        base_resolution=4, per_level_scale=2.0,
+    )
+    key = jax.random.PRNGKey(1)
+    table = hashgrid_init(key, cfg)
+    res = cfg.level_resolutions[0]
+    scale = cfg.level_scales[0]
+
+    x = jnp.array([[0.37, 0.11, 0.74]])
+    out = np.asarray(hashgrid_encode(table, x, cfg))[0, 0]
+
+    pos = np.asarray(x)[0] * scale + 0.5
+    base = np.floor(pos).astype(int)
+    frac = pos - base
+    expected = 0.0
+    tbl = np.asarray(table)
+    for i in (0, 1):
+        for j in (0, 1):
+            for k in (0, 1):
+                c = np.clip(base + [i, j, k], 0, res - 1)
+                idx = c[0] + c[1] * res + c[2] * res * res
+                w = (
+                    (i * frac[0] + (1 - i) * (1 - frac[0]))
+                    * (j * frac[1] + (1 - j) * (1 - frac[1]))
+                    * (k * frac[2] + (1 - k) * (1 - frac[2]))
+                )
+                expected += w * tbl[idx, 0]
+    assert np.isclose(out, expected, rtol=1e-5)
+
+
+def test_encode_continuity():
+    """Tiny input perturbation -> tiny output change (trilerp continuity)."""
+    cfg = small_cfg()
+    key = jax.random.PRNGKey(2)
+    table = hashgrid_init(key, cfg)
+    x = jnp.array([[0.5, 0.5, 0.5]])
+    a = hashgrid_encode(table, x, cfg)
+    b = hashgrid_encode(table, x + 1e-6, cfg)
+    assert np.max(np.abs(np.asarray(a - b))) < 1e-4
+
+
+def test_grad_wrt_table_and_position():
+    cfg = small_cfg()
+    key = jax.random.PRNGKey(3)
+    table = hashgrid_init(key, cfg)
+    x = jnp.array([[0.3, 0.6, 0.2]])
+
+    g_table = jax.grad(
+        lambda t: jnp.sum(hashgrid_encode(t, x, cfg))
+    )(table)
+    assert np.isfinite(np.asarray(g_table)).all()
+    assert np.abs(np.asarray(g_table)).sum() > 0
+
+    g_x = jax.grad(lambda p: jnp.sum(hashgrid_encode(table, p, cfg)))(x)
+    # numeric check of position gradient
+    eps = 1e-4
+    for axis in range(3):
+        dx = jnp.zeros((1, 3)).at[0, axis].set(eps)
+        num = (
+            jnp.sum(hashgrid_encode(table, x + dx, cfg))
+            - jnp.sum(hashgrid_encode(table, x - dx, cfg))
+        ) / (2 * eps)
+        assert np.isclose(np.asarray(g_x)[0, axis], num, rtol=1e-2, atol=1e-3)
+
+
+def test_hash_indices_in_range():
+    cfg = HashGridConfig(
+        n_levels=2, n_features=2, log2_hashmap_size=6,
+        base_resolution=16, per_level_scale=2.0,
+    )
+    key = jax.random.PRNGKey(4)
+    table = hashgrid_init(key, cfg)
+    x = jax.random.uniform(key, (1000, 3))
+    out = hashgrid_encode(table, x, cfg)  # would crash/NaN on bad indexing
+    assert np.isfinite(np.asarray(out)).all()
