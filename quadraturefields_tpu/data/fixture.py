@@ -31,10 +31,9 @@ class FixtureScene:
 
     def sigma(self, x):
         r = np.linalg.norm(x, axis=-1)
-        # smooth shell falloff
-        return self.density * (
-            1.0 / (1.0 + np.exp((r - self.radius) / self.edge))
-        )
+        # smooth shell falloff (argument clipped to avoid exp overflow)
+        z = np.clip((r - self.radius) / self.edge, -60.0, 60.0)
+        return self.density * (1.0 / (1.0 + np.exp(z)))
 
     def color(self, x):
         # smooth position-dependent color in [0.1, 0.9]

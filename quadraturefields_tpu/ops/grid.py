@@ -87,6 +87,7 @@ def occ_grid_update(
     n_cells = res**3
     part = n_cells // cfg.partitions
 
+    step = jnp.asarray(step, jnp.int32)
     update_idx = step // cfg.update_interval
     in_warmup = step < cfg.warmup_steps
 

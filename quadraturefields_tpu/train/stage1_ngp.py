@@ -1,0 +1,364 @@
+"""Stage 1: train the NGP radiance field with an occupancy grid.
+
+TPU-native rebuild of examples/train_ngp_nerf_sg_occ.py: the full train
+step (occ-grid-sampled render, smooth-L1 + regularizer loss, Adam with
+the reference's warmup/milestone schedule) is one jitted function;
+dynamic ray-batch sizing snaps to shape buckets; evaluation renders
+full views in fixed chunks. Optionally shards the ray batch across a
+1-D device mesh (data parallel over ICI) — see parallel/mesh.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.nerf_synthetic import SubjectLoader
+from ..models.ngp import NGPConfig, ngp_init, ngp_query_density
+from ..ops.distortion import flatten_eff_distloss
+from ..ops.grid import (
+    OccGridConfig,
+    occ_grid_init,
+    occ_grid_update,
+    max_march_steps,
+)
+from ..render.renderer import RenderConfig, render_rays_occgrid
+from ..utils.batching import bucket_num_rays
+from ..utils.checkpoint import save_checkpoint
+from ..utils.metrics import mse, psnr, smooth_l1_loss, ssim
+from ..utils.optim import make_ngp_optimizer
+
+
+@dataclasses.dataclass
+class Stage1Config:
+    scene: str = "lego"
+    data_root: str = "data/nerf_synthetic"
+    exp_name: str = "ngp"
+    root: str = "runs/"
+    train_split: str = "train"
+    max_steps: int = 20000
+    init_batch_size: int = 4096
+    batch_size_log2: int = 18  # target sample batch 2^batch_size_log2
+    occ_thres: float = 0.01
+    reg_type: str = "occ"  # occ|entropy|cauchy|both|lol|none|distortion
+    o_lambda: float = 1e-3
+    c_lambda: float = 1e-5
+    num_lobes: int = 2
+    num_layers: int = 2
+    log2_hashmap_size: int = 19
+    scale: float = 1.5
+    lr: float = 1e-2
+    weight_decay: Optional[float] = None  # per-scene default if None
+    grid_resolution: int = 128
+    render_step_size: float = 5e-3
+    near_plane: float = 0.0
+    alpha_thre: float = 0.0
+    eval_chunk: int = 8192
+    ckpt_every: int = 1000
+    log_every: int = 100
+    seed: int = 42
+    compute_dtype: str = "bfloat16"
+    eval_views: Optional[int] = None  # limit test views (None = all)
+    save_images: bool = False
+    # optional jax.sharding.NamedSharding to shard the ray batch (DP)
+    data_sharding: object = None
+
+    @property
+    def target_sample_batch_size(self) -> int:
+        return 1 << self.batch_size_log2
+
+    @property
+    def aabb(self) -> np.ndarray:
+        return np.array([-1, -1, -1, 1, 1, 1], np.float32) * self.scale
+
+    def ngp_config(self) -> NGPConfig:
+        head = "sg" if self.num_lobes > 0 else "mlp"
+        return NGPConfig(
+            head=head,
+            use_viewdirs=False,
+            num_g_lobes=self.num_lobes,
+            num_layers=self.num_layers,
+            log2_hashmap_size=self.log2_hashmap_size,
+            compute_dtype=self.compute_dtype,
+        )
+
+    def render_config(self) -> RenderConfig:
+        return RenderConfig(
+            render_step_size=self.render_step_size,
+            near_plane=self.near_plane,
+            alpha_thre=self.alpha_thre,
+            max_steps=max_march_steps(self.aabb, self.render_step_size),
+            max_samples_total=self.target_sample_batch_size,
+        )
+
+
+def _regularizer(cfg: Stage1Config, acc, result, viewdirs, origins):
+    """The 5 regularizer variants of train_ngp_nerf_sg_occ.py:315-334."""
+    if cfg.reg_type == "occ":
+        return (cfg.o_lambda * (-acc * jnp.log(acc + 1e-10))).mean()
+    if cfg.reg_type == "entropy":
+        w = result.weights
+        return (cfg.o_lambda * (-w * jnp.log(w + 1e-7))).mean()
+    if cfg.reg_type == "cauchy":
+        return cfg.c_lambda * jnp.log(1 + result.sigmas**2).mean()
+    if cfg.reg_type == "both":
+        return (
+            (cfg.o_lambda * (-acc * jnp.log(acc + 1e-10))).mean()
+            + cfg.c_lambda * jnp.log(1 + result.sigmas**2).mean()
+        )
+    if cfg.reg_type == "lol":
+        w = result.weights
+        return (
+            cfg.o_lambda
+            * jnp.log(jnp.exp(-w) + jnp.exp(-jnp.abs(1 - w)))
+        ).mean()
+    if cfg.reg_type == "distortion":
+        s = result.samples
+        idx = jnp.clip(s.ray_indices, 0, origins.shape[0] - 1)
+        t_mid = (s.t_starts + s.t_ends)[:, None] / 2.0
+        pos = origins[idx] + viewdirs[idx] * t_mid
+        m = jnp.abs(jnp.sum(pos * viewdirs[idx], axis=1))
+        return cfg.o_lambda * flatten_eff_distloss(
+            result.weights,
+            m,
+            jnp.full_like(result.weights, cfg.render_step_size),
+            s.ray_indices,
+            origins.shape[0],
+        )
+    return jnp.zeros(())
+
+
+class Stage1Trainer:
+    def __init__(self, cfg: Stage1Config, train_dataset=None,
+                 test_dataset=None):
+        self.cfg = cfg
+        self.ngp_cfg = cfg.ngp_config()
+        self.rcfg = cfg.render_config()
+        self.occ_cfg = OccGridConfig(
+            resolution=cfg.grid_resolution, occ_thre=cfg.occ_thres
+        )
+        self.aabb = jnp.asarray(cfg.aabb)
+
+        self.train_dataset = train_dataset or SubjectLoader(
+            subject_id=cfg.scene,
+            root_fp=cfg.data_root,
+            split=cfg.train_split,
+            num_rays=cfg.init_batch_size,
+            seed=cfg.seed,
+        )
+        self.test_dataset = test_dataset or SubjectLoader(
+            subject_id=cfg.scene,
+            root_fp=cfg.data_root,
+            split="test",
+            num_rays=None,
+        )
+
+        key = jax.random.PRNGKey(cfg.seed)
+        self.key, init_key = jax.random.split(key)
+        self.params = ngp_init(init_key, self.ngp_cfg)
+        self.occ_state = occ_grid_init(self.aabb, self.occ_cfg)
+        wd = cfg.weight_decay
+        if wd is None:
+            wd = 1e-5 if cfg.scene in ("materials", "ficus", "drums") else 1e-6
+        self.optimizer = make_ngp_optimizer(
+            cfg.max_steps, lr=cfg.lr, weight_decay=wd
+        )
+        self.opt_state = self.optimizer.init(self.params)
+        self.step = 0
+
+        self._occ_update = jax.jit(self._occ_update_impl)
+        self._train_step = jax.jit(self._train_step_impl)
+        self._eval_render = jax.jit(self._eval_render_impl)
+
+    # ---- jitted impls ----
+    def _occ_update_impl(self, params, occ_state, step, key):
+        def occ_eval_fn(x):
+            d = ngp_query_density(params, x, self.aabb, self.ngp_cfg)
+            return d[..., 0] * self.rcfg.render_step_size
+
+        return occ_grid_update(
+            occ_state, step, key, occ_eval_fn, self.occ_cfg
+        )
+
+    def _loss_fn(self, params, occ_state, origins, viewdirs, pixels,
+                 bkgd, key):
+        result = render_rays_occgrid(
+            params, self.aabb, self.ngp_cfg, occ_state, origins, viewdirs,
+            self.rcfg, render_bkgd=bkgd, stratified=True, key=key,
+        )
+        rgb_loss = smooth_l1_loss(result.rgb, pixels)
+        acc = result.opacity[:, 0]
+        reg = _regularizer(self.cfg, acc, result, viewdirs, origins)
+        loss = rgb_loss + reg
+        aux = {
+            "rgb_loss": rgb_loss,
+            "reg": reg,
+            "num_valid": result.num_valid,
+            "mse": mse(result.rgb, pixels),
+        }
+        return loss, aux
+
+    def _train_step_impl(
+        self, params, opt_state, occ_state, origins, viewdirs, pixels,
+        bkgd, key,
+    ):
+        (loss, aux), grads = jax.value_and_grad(
+            self._loss_fn, has_aux=True
+        )(params, occ_state, origins, viewdirs, pixels, bkgd, key)
+        updates, opt_state = self.optimizer.update(
+            grads, opt_state, params
+        )
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux
+
+    def _eval_render_impl(self, params, occ_state, origins, viewdirs):
+        # larger sample budget for eval chunks (no dynamic resizing there)
+        rcfg = dataclasses.replace(
+            self.rcfg,
+            max_samples_total=min(
+                1 << 20, self.rcfg.max_samples_total * 4
+            ),
+        )
+        return render_rays_occgrid(
+            params, self.aabb, self.ngp_cfg, occ_state, origins, viewdirs,
+            rcfg, render_bkgd=jnp.ones(3), stratified=False,
+        )[:4]
+
+    # ---- host loop ----
+    def train_one_step(self):
+        cfg = self.cfg
+        step = self.step
+        self.key, k_occ, k_render = jax.random.split(self.key, 3)
+
+        if step % self.occ_cfg.update_interval == 0:
+            self.occ_state = self._occ_update(
+                self.params, self.occ_state, step, k_occ
+            )
+
+        data = self.train_dataset.fetch_train_batch()
+        origins = jnp.asarray(data["rays"].origins)
+        viewdirs = jnp.asarray(data["rays"].viewdirs)
+        pixels = jnp.asarray(data["pixels"])
+        bkgd = jnp.asarray(data["color_bkgd"])
+        if cfg.data_sharding is not None:
+            origins = jax.device_put(origins, cfg.data_sharding)
+            viewdirs = jax.device_put(viewdirs, cfg.data_sharding)
+            pixels = jax.device_put(pixels, cfg.data_sharding)
+
+        self.params, self.opt_state, loss, aux = self._train_step(
+            self.params, self.opt_state, self.occ_state,
+            origins, viewdirs, pixels, bkgd, k_render,
+        )
+
+        n_valid = int(aux["num_valid"])
+        if cfg.target_sample_batch_size > 0 and step > 100 and n_valid > 0:
+            num_rays = int(
+                len(pixels) * cfg.target_sample_batch_size / float(n_valid)
+            )
+            self.train_dataset.update_num_rays(bucket_num_rays(num_rays))
+        self.step += 1
+        return loss, aux
+
+    def train(self, log_fn=print):
+        cfg = self.cfg
+        out_dir = os.path.join(cfg.root, "results", cfg.scene, cfg.exp_name)
+        ckpt_dir = os.path.join(cfg.root, "ckpts", cfg.scene, cfg.exp_name)
+        os.makedirs(out_dir, exist_ok=True)
+        os.makedirs(ckpt_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "args.json"), "w") as f:
+            json.dump(
+                {k: v for k, v in dataclasses.asdict(cfg).items()
+                 if not k.startswith("data_sharding")},
+                f, indent=2, default=str,
+            )
+
+        tic = time.time()
+        rays_done = 0
+        while self.step <= cfg.max_steps:
+            step = self.step
+            loss, aux = self.train_one_step()
+            rays_done += self.train_dataset.num_rays
+
+            if step % cfg.log_every == 0:
+                train_psnr = -10.0 * float(jnp.log(aux["mse"])) / np.log(10)
+                elapsed = time.time() - tic
+                log_fn(
+                    f"elapsed_time={elapsed:.2f}s | step={step} | "
+                    f"loss={float(loss):.5f} | psnr={train_psnr:.2f} | "
+                    f"n_samples={int(aux['num_valid'])} | "
+                    f"num_rays={self.train_dataset.num_rays} | "
+                    f"rays/s={rays_done / max(elapsed, 1e-9):.0f}"
+                )
+            if step > 0 and step % cfg.ckpt_every == 0:
+                self.save(os.path.join(ckpt_dir, "ngp"))
+        metrics = self.evaluate(out_dir)
+        with open(os.path.join(out_dir, "log.json"), "a") as f:
+            json.dump({"step": self.step - 1, **metrics}, f)
+        return metrics
+
+    def evaluate(self, out_dir=None):
+        cfg = self.cfg
+        n_views = len(self.test_dataset)
+        if cfg.eval_views is not None:
+            n_views = min(n_views, cfg.eval_views)
+        psnrs, ssims = [], []
+        H, W = self.test_dataset.HEIGHT, self.test_dataset.WIDTH
+        for i in range(n_views):
+            data = self.test_dataset.fetch_eval_view(i)
+            rgb = self.render_view(data)
+            pixels = data["pixels"].reshape(H, W, 3)
+            rgb_img = rgb.reshape(H, W, 3)
+            psnrs.append(float(psnr(jnp.asarray(rgb_img), jnp.asarray(pixels))))
+            ssims.append(float(ssim(jnp.asarray(rgb_img), jnp.asarray(pixels))))
+            if cfg.save_images and out_dir is not None:
+                import imageio.v2 as imageio
+
+                imageio.imwrite(
+                    os.path.join(out_dir, f"rgb_test_{i:03d}.png"),
+                    (np.clip(rgb_img, 0, 1) * 255).astype(np.uint8),
+                )
+        return {
+            "psnr": float(np.mean(psnrs)),
+            "ssim": float(np.mean(ssims)),
+        }
+
+    def render_view(self, data):
+        """Full-image render in fixed chunks."""
+        cfg = self.cfg
+        origins = np.asarray(data["rays"].origins)
+        viewdirs = np.asarray(data["rays"].viewdirs)
+        n = origins.shape[0]
+        chunk = cfg.eval_chunk
+        n_pad = (n + chunk - 1) // chunk * chunk
+        o = np.concatenate([origins, np.zeros((n_pad - n, 3), np.float32)])
+        d = np.concatenate(
+            [viewdirs, np.tile([[0, 0, 1.0]], (n_pad - n, 1))]
+        ).astype(np.float32)
+        outs = []
+        for i in range(0, n_pad, chunk):
+            rgb, _, _, _ = self._eval_render(
+                self.params, self.occ_state,
+                jnp.asarray(o[i:i + chunk]), jnp.asarray(d[i:i + chunk]),
+            )
+            outs.append(np.asarray(rgb))
+        return np.concatenate(outs)[:n]
+
+    def save(self, path):
+        save_checkpoint(
+            path,
+            {
+                "params": self.params,
+                "occs": self.occ_state.occs,
+                "binaries": self.occ_state.binaries,
+                "opt_state": self.opt_state,
+                "step": self.step,
+            },
+        )
