@@ -594,4 +594,98 @@ void qf_segment_mesh(const float* verts, int64_t nv, const int32_t* faces,
   segment_mesh(verts, nv, faces, nf, kthr, min_size, seg_out);
 }
 
+// Rasterize triangles in UV space, writing barycentric-interpolated 3-D
+// positions per texel (the V image of generate_uv_xatlas_old.py:133 /
+// parameterization_utils.fill_triangles_fill_boundary). After the fill
+// pass, `dilate` rounds of boundary dilation copy each filled texel
+// into empty 4-neighbors (fill_boundary's seam guard).
+void qf_rasterize_uv(const float* uv,      // [F, 3, 2] texel coords
+                     const float* pos,     // [F, 3, 3] world positions
+                     int64_t n_faces, int32_t height, int32_t width,
+                     int32_t dilate,
+                     float* v_image,       // [H, W, 3] out
+                     int32_t* tri_image)   // [H, W] out, -1 empty
+{
+  for (int64_t i = 0; i < (int64_t)height * width; ++i) tri_image[i] = -1;
+  std::memset(v_image, 0, sizeof(float) * 3 * height * width);
+  for (int64_t f = 0; f < n_faces; ++f) {
+    const float* u = uv + 6 * f;
+    const float* p = pos + 9 * f;
+    float minx = std::min({u[0], u[2], u[4]});
+    float maxx = std::max({u[0], u[2], u[4]});
+    float miny = std::min({u[1], u[3], u[5]});
+    float maxy = std::max({u[1], u[3], u[5]});
+    int x0 = std::max(0, (int)std::floor(minx));
+    int x1 = std::min(width - 1, (int)std::ceil(maxx));
+    int y0 = std::max(0, (int)std::floor(miny));
+    int y1 = std::min(height - 1, (int)std::ceil(maxy));
+    float ax = u[0], ay = u[1], bx = u[2], by = u[3], cx = u[4], cy = u[5];
+    float den = (by - cy) * (ax - cx) + (cx - bx) * (ay - cy);
+    bool degenerate = std::fabs(den) < 1e-12f;
+    float cxm = (ax + bx + cx) / 3.0f, cym = (ay + by + cy) / 3.0f;
+    V3 centroid = v3((p[0] + p[3] + p[6]) / 3.0f,
+                     (p[1] + p[4] + p[7]) / 3.0f,
+                     (p[2] + p[5] + p[8]) / 3.0f);
+    if (degenerate) {
+      int px = std::min(width - 1, std::max(0, (int)cxm));
+      int py = std::min(height - 1, std::max(0, (int)cym));
+      int64_t o = (int64_t)px * width + py;  // [row=x, col=y] layout
+      tri_image[o] = (int32_t)f;
+      v_image[3 * o] = centroid.x;
+      v_image[3 * o + 1] = centroid.y;
+      v_image[3 * o + 2] = centroid.z;
+      continue;
+    }
+    for (int x = x0; x <= x1; ++x) {
+      for (int y = y0; y <= y1; ++y) {
+        float pxc = x + 0.5f, pyc = y + 0.5f;
+        float w0 = ((by - cy) * (pxc - cx) + (cx - bx) * (pyc - cy)) / den;
+        float w1 = ((cy - ay) * (pxc - cx) + (ax - cx) * (pyc - cy)) / den;
+        float w2 = 1.0f - w0 - w1;
+        const float eps = -1e-4f;
+        if (w0 < eps || w1 < eps || w2 < eps) continue;
+        w0 = std::max(0.0f, w0);
+        w1 = std::max(0.0f, w1);
+        w2 = std::max(0.0f, w2);
+        float s = w0 + w1 + w2;
+        w0 /= s; w1 /= s; w2 /= s;
+        int64_t o = (int64_t)x * width + y;
+        tri_image[o] = (int32_t)f;
+        v_image[3 * o] = w0 * p[0] + w1 * p[3] + w2 * p[6];
+        v_image[3 * o + 1] = w0 * p[1] + w1 * p[4] + w2 * p[7];
+        v_image[3 * o + 2] = w0 * p[2] + w1 * p[5] + w2 * p[8];
+      }
+    }
+  }
+  // boundary dilation
+  for (int round = 0; round < dilate; ++round) {
+    std::vector<int64_t> fills;
+    std::vector<int64_t> srcs;
+    for (int x = 0; x < height; ++x) {
+      for (int y = 0; y < width; ++y) {
+        int64_t o = (int64_t)x * width + y;
+        if (tri_image[o] >= 0) continue;
+        const int dx[4] = {1, -1, 0, 0};
+        const int dy[4] = {0, 0, 1, -1};
+        for (int k = 0; k < 4; ++k) {
+          int nx = x + dx[k], ny = y + dy[k];
+          if (nx < 0 || ny < 0 || nx >= height || ny >= width) continue;
+          int64_t no = (int64_t)nx * width + ny;
+          if (tri_image[no] >= 0) {
+            fills.push_back(o);
+            srcs.push_back(no);
+            break;
+          }
+        }
+      }
+    }
+    for (size_t i = 0; i < fills.size(); ++i) {
+      tri_image[fills[i]] = tri_image[srcs[i]];
+      v_image[3 * fills[i]] = v_image[3 * srcs[i]];
+      v_image[3 * fills[i] + 1] = v_image[3 * srcs[i] + 1];
+      v_image[3 * fills[i] + 2] = v_image[3 * srcs[i] + 2];
+    }
+  }
+}
+
 }  // extern "C"

@@ -1,0 +1,265 @@
+"""Stage 6: prune -> segment -> UV atlas -> bake textures -> baked eval.
+
+Rebuild of the reference baking sub-chain
+(script/run_nerfsynthetic_baking.sh:32-38):
+  prune_mesh            examples/prune_mesh_after_finetuning.py:324-373
+  segmentation          ScanNet segmentator binary -> *.segs.json
+  UV atlas + V image    examples/generate_uv_xatlas_old.py
+  texture bake          examples/bake_texture_images_shelly.py:284-294
+  baked evaluation      examples/test_baking_texture_images.py:341-429
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.intersect import MeshIntersection
+from ..geometry.meshio import Mesh, save_obj_with_uv, save_ply
+from ..geometry.native import segment_mesh
+from ..models.ngp import NGPConfig, ngp_features, ngp_forward
+from ..render.baked import render_baked_rows
+from ..render.quadrature import HitRows, render_fit_sg_rows, row_composite
+from ..utils.metrics import psnr, ssim
+from .compression import FeatureCompression
+from .uvatlas import build_uv_atlas, rasterize_v_image
+
+
+def prune_mesh(
+    teacher_params,
+    teacher_cfg: NGPConfig,
+    mesh_intersect: MeshIntersection,
+    dataset,
+    aabb,
+    *,
+    render_step_size: float = 5e-3,
+    weight_thres: float = 1e-3,
+    n_batches: int | None = None,
+    rays_per_batch: int = 8192,
+    out_dir: str | None = None,
+):
+    """Keep faces whose max rendering weight over the train views
+    exceeds weight_thres (prune_mesh_after_finetuning.py:324-369).
+    Returns (pruned Mesh, triangle_weights)."""
+    n_faces = mesh_intersect.n_faces
+    tri_weights = np.zeros((n_faces,), np.float32)
+    n_batches = n_batches or len(dataset)
+    aabb = jnp.asarray(aabb)
+
+    @jax.jit
+    def weights_fn(origins, viewdirs, tri_ids, ts, valid):
+        hits = HitRows(tri_ids=tri_ids, ts=ts, valid=valid)
+        R, H = ts.shape
+        xyzs = origins[:, None, :] + viewdirs[:, None, :] * ts[..., None]
+        dirs = jnp.broadcast_to(viewdirs[:, None, :], (R, H, 3))
+        _, sigmas = ngp_forward(
+            teacher_params, xyzs.reshape(-1, 3), dirs.reshape(-1, 3),
+            aabb, teacher_cfg,
+        )
+        sigmas = sigmas[..., 0].reshape(R, H)
+        deltas = jnp.full_like(sigmas, render_step_size)
+        _, _, _, w = row_composite(
+            jnp.zeros((R, H, 3)), sigmas, ts, deltas, valid, "white"
+        )
+        return w
+
+    prev_num_rays = dataset.num_rays
+    dataset.update_num_rays(rays_per_batch)
+    for _ in range(n_batches):
+        batch = dataset.fetch_train_batch()
+        tri_ids, ts, valid = mesh_intersect.intersect_rows(
+            batch["rays"].origins, batch["rays"].viewdirs
+        )
+        w = np.asarray(
+            weights_fn(
+                jnp.asarray(batch["rays"].origins),
+                jnp.asarray(batch["rays"].viewdirs),
+                jnp.asarray(tri_ids), jnp.asarray(ts), jnp.asarray(valid),
+            )
+        )
+        sel = valid.reshape(-1)
+        np.maximum.at(
+            tri_weights, tri_ids.reshape(-1)[sel], w.reshape(-1)[sel]
+        )
+    dataset.update_num_rays(prev_num_rays)
+
+    mask = tri_weights > weight_thres
+    pruned = Mesh(
+        mesh_intersect.mesh.vertices, mesh_intersect.mesh.faces[mask]
+    ).remove_unreferenced_vertices()
+    if out_dir:
+        np.save(os.path.join(out_dir, "triangle_weights.npy"), tri_weights)
+        save_ply(os.path.join(out_dir, "mesh_updated.ply"), pruned)
+    return pruned, tri_weights
+
+
+def segment_and_atlas(
+    mesh: Mesh,
+    texture_size: int,
+    *,
+    kthr: float = 0.01,
+    min_size: int = 20,
+    out_dir: str | None = None,
+):
+    """Segmentation + UV atlas + V image. Writes the reference's
+    artifact set (segs.json, mesh_segmentation_<N>.obj, V_<N>.npy)."""
+    face_seg = segment_mesh(mesh.vertices, mesh.faces, kthr=kthr,
+                            min_size=min_size)
+    atlas_mesh, uv = build_uv_atlas(mesh, face_seg, texture_size)
+    v_image, tri_image = rasterize_v_image(atlas_mesh, uv, texture_size)
+    if out_dir:
+        # per-vertex segIndices like the ScanNet segmentator output
+        vert_seg = np.zeros((mesh.vertices.shape[0],), np.int64)
+        vert_seg[mesh.faces.reshape(-1)] = np.repeat(face_seg, 3)
+        with open(
+            os.path.join(out_dir, "mesh_updated.segs.json"), "w"
+        ) as f:
+            json.dump({"segIndices": vert_seg.tolist()}, f)
+        save_obj_with_uv(
+            os.path.join(out_dir, f"mesh_segmentation_{texture_size}.obj"),
+            atlas_mesh, uv,
+        )
+        dtype = np.float16 if texture_size > 8192 else np.float32
+        np.save(
+            os.path.join(out_dir, f"V_{texture_size}.npy"),
+            v_image.astype(dtype),
+        )
+    return atlas_mesh, uv, v_image, tri_image
+
+
+def bake_textures(
+    sg_params,
+    sg_cfg: NGPConfig,
+    v_image: np.ndarray,
+    tri_image: np.ndarray,
+    aabb,
+    *,
+    texture_size: int,
+    compression_type: str = "sigmoid",
+    lambda_thres: float = 7.5,
+    chunk: int = 1 << 18,
+    out_dir: str | None = None,
+):
+    """Query SG features at V texels and quantize into texture maps
+    (bake_texture_images_shelly.py:284-294)."""
+    comp = FeatureCompression(
+        num_lobes=sg_cfg.num_g_lobes,
+        initialize=True,
+        texture_size=texture_size,
+        compression_type=compression_type,
+        lambda_thres=lambda_thres,
+    )
+    rows, cols = np.nonzero(tri_image >= 0)
+    pts = v_image[rows, cols]
+    aabb = jnp.asarray(aabb)
+
+    @jax.jit
+    def feats_fn(x):
+        return ngp_features(sg_params, x, aabb, sg_cfg)
+
+    for i in range(0, pts.shape[0], chunk):
+        feats = np.asarray(feats_fn(jnp.asarray(pts[i:i + chunk])))
+        idx = np.stack([rows[i:i + chunk], cols[i:i + chunk]], axis=1)
+        comp.load_features_into_maps(feats, idx)
+    if out_dir:
+        prefix = os.path.join(out_dir, f"texture_{texture_size}/")
+        os.makedirs(prefix, exist_ok=True)
+        comp.save_to_file(prefix)
+    return comp
+
+
+class BakedRenderer:
+    """Texture-only renderer over the atlas mesh (the benchmarked
+    real-time path, test_baking_texture_images.py:341-429)."""
+
+    def __init__(self, atlas_mesh: Mesh, uv, compressor, sg_cfg: NGPConfig,
+                 max_hits: int = 25, render_step_size: float = 5e-3):
+        self.mesh_intersect = MeshIntersection(
+            mesh=atlas_mesh, simplify_mesh=False, scale=1.0,
+            num_intersections=max_hits,
+        )
+        self.uv = np.asarray(uv, np.float32)
+        self.compressor = compressor
+        self.maps = compressor.as_device_arrays()
+        self.sg_cfg = sg_cfg
+        self.render_step_size = render_step_size
+        self._render = jax.jit(self._render_impl)
+
+    def _render_impl(self, origins, viewdirs, tri_ids, ts, valid,
+                     face_vertices, face_uv):
+        hits = HitRows(tri_ids=tri_ids, ts=ts, valid=valid)
+        rgb, alpha, depth, _ = render_baked_rows(
+            hits, origins, viewdirs, face_vertices, face_uv,
+            self.maps,
+            self.compressor.get_features_from_texture_map,
+            self.sg_cfg,
+            texture_size=self.compressor.texture_size,
+            render_step_size=self.render_step_size,
+        )
+        return rgb, alpha, depth
+
+    def render_rays(self, origins, viewdirs):
+        tri_ids, ts, valid = self.mesh_intersect.intersect_rows(
+            origins, viewdirs
+        )
+        fv = self.mesh_intersect.face_vertices(tri_ids)
+        fuv = self.uv[self.mesh_intersect.mesh.faces[np.maximum(tri_ids, 0)]]
+        rgb, alpha, depth = self._render(
+            jnp.asarray(origins), jnp.asarray(viewdirs),
+            jnp.asarray(tri_ids), jnp.asarray(ts), jnp.asarray(valid),
+            jnp.asarray(fv), jnp.asarray(fuv),
+        )
+        return np.asarray(rgb), np.asarray(alpha), np.asarray(depth)
+
+    def render_view(self, data, chunk: int = 8192):
+        origins = np.asarray(data["rays"].origins)
+        viewdirs = np.asarray(data["rays"].viewdirs)
+        n = origins.shape[0]
+        n_pad = (n + chunk - 1) // chunk * chunk
+        o = np.concatenate([origins, np.zeros((n_pad - n, 3), np.float32)])
+        d = np.concatenate(
+            [viewdirs, np.tile([[0, 0, 1.0]], (n_pad - n, 1))]
+        ).astype(np.float32)
+        outs = []
+        for i in range(0, n_pad, chunk):
+            rgb, _, _ = self.render_rays(o[i:i + chunk], d[i:i + chunk])
+            outs.append(rgb)
+        return np.concatenate(outs)[:n]
+
+
+def evaluate_baked(
+    renderer: BakedRenderer,
+    dataset,
+    n_views: int | None = None,
+    out_path: str | None = None,
+):
+    """PSNR/SSIM over test views + end-to-end FPS of the baked path
+    (results_baking_*.json contract,
+    test_baking_texture_images.py:412-429)."""
+    n = len(dataset)
+    if n_views is not None:
+        n = min(n, n_views)
+    H, W = dataset.HEIGHT, dataset.WIDTH
+    psnrs, ssims = [], []
+    t0 = time.perf_counter()
+    for i in range(n):
+        data = dataset.fetch_eval_view(i)
+        rgb = renderer.render_view(data).reshape(H, W, 3)
+        pixels = data["pixels"].reshape(H, W, 3)
+        psnrs.append(float(psnr(jnp.asarray(rgb), jnp.asarray(pixels))))
+        ssims.append(float(ssim(jnp.asarray(rgb), jnp.asarray(pixels))))
+    dt = time.perf_counter() - t0
+    results = {
+        "psnr": float(np.mean(psnrs)),
+        "ssim": float(np.mean(ssims)),
+        "fps": n / dt,
+        "n_views": n,
+    }
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(results, f)
+    return results

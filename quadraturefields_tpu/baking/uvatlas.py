@@ -1,0 +1,146 @@
+"""UV atlas generation + V-image rasterization (stage 6).
+
+Replaces xatlas (reference generate_uv_xatlas_old.py): the mesh is
+split by segment labels, each segment is parameterized by projection
+onto its PCA-dominant plane (segments come from the normal-based graph
+segmentation, so they are near-planar by construction), charts are
+scaled uniformly in texels-per-world-unit and shelf-packed; if the
+packing overflows the texture, the scale shrinks and packing retries —
+the reference's retry-shrink loop (generate_uv_xatlas_old.py:69-94).
+
+Output contract matches the reference: a re-indexed mesh whose vertices
+are duplicated per chart, per-vertex UVs in texel units, and the V
+image mapping texels -> 3-D positions (V_<N>.npy,
+generate_uv_xatlas_old.py:133-138).
+"""
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from ..geometry.meshio import Mesh
+from ..geometry.native import _f32p, _get_lib, _i32p
+
+
+def _segment_charts(mesh: Mesh, face_segments: np.ndarray):
+    """Split into per-segment submeshes with local vertex indexing and
+    plane-projected 2-D coords."""
+    charts = []
+    for seg in np.unique(face_segments):
+        fsel = np.where(face_segments == seg)[0]
+        faces = mesh.faces[fsel]
+        used, inv = np.unique(faces.reshape(-1), return_inverse=True)
+        verts = mesh.vertices[used]
+        local_faces = inv.reshape(-1, 3).astype(np.int32)
+        # PCA plane
+        center = verts.mean(0)
+        centered = verts - center
+        # covariance of vertices; for tiny charts fall back to xy
+        if verts.shape[0] >= 3:
+            _, _, vt = np.linalg.svd(centered, full_matrices=False)
+            basis = vt[:2]  # two dominant directions
+        else:
+            basis = np.eye(3, dtype=np.float32)[:2]
+        uv2d = centered @ basis.T  # [v, 2] world units
+        uv2d = uv2d - uv2d.min(0, keepdims=True)
+        charts.append(
+            {
+                "verts": verts.astype(np.float32),
+                "faces": local_faces,
+                "uv": uv2d.astype(np.float32),
+            }
+        )
+    return charts
+
+
+def _shelf_pack(sizes, atlas_size: int):
+    """Simple shelf packing of (w, h) rects; returns offsets or None on
+    overflow. Rects sorted by height descending."""
+    order = np.argsort(-sizes[:, 1])
+    offsets = np.zeros_like(sizes)
+    x = y = shelf_h = 0.0
+    for i in order:
+        w, h = sizes[i]
+        if w > atlas_size or h > atlas_size:
+            return None
+        if x + w > atlas_size:
+            y += shelf_h
+            x = 0.0
+            shelf_h = 0.0
+        if y + h > atlas_size:
+            return None
+        offsets[i] = [x, y]
+        x += w
+        shelf_h = max(shelf_h, h)
+    return offsets
+
+
+def build_uv_atlas(
+    mesh: Mesh,
+    face_segments: np.ndarray,
+    texture_size: int,
+    padding: float = 2.0,
+    init_ratio: float = 0.6,
+):
+    """-> (atlas_mesh, uv [V,2] texel coords). Vertices are duplicated
+    per chart (seam-free charts, like xatlas vmapping)."""
+    charts = _segment_charts(mesh, face_segments)
+    total_area = sum(
+        float(np.abs(np.cross(
+            c["uv"][c["faces"][:, 1]] - c["uv"][c["faces"][:, 0]],
+            c["uv"][c["faces"][:, 2]] - c["uv"][c["faces"][:, 0]],
+        )).sum()) / 2.0
+        for c in charts
+    )
+    total_area = max(total_area, 1e-12)
+    # texels per world unit: fill ~init_ratio^2 of the atlas, then the
+    # retry-shrink loop backs off on overflow
+    scale = np.sqrt(init_ratio * texture_size**2 / total_area)
+    for _ in range(40):
+        sizes = np.array(
+            [
+                c["uv"].max(0) * scale + 2 * padding + 1.0
+                for c in charts
+            ],
+            np.float32,
+        )
+        offsets = _shelf_pack(sizes, texture_size)
+        if offsets is not None:
+            break
+        scale *= 0.85
+    else:
+        raise RuntimeError("atlas packing failed")
+
+    all_verts, all_faces, all_uv = [], [], []
+    base = 0
+    for c, off in zip(charts, offsets):
+        uv = c["uv"] * scale + off[None, :] + padding
+        all_verts.append(c["verts"])
+        all_uv.append(uv)
+        all_faces.append(c["faces"] + base)
+        base += c["verts"].shape[0]
+    atlas_mesh = Mesh(
+        np.concatenate(all_verts), np.concatenate(all_faces)
+    )
+    uv = np.concatenate(all_uv).astype(np.float32)
+    return atlas_mesh, uv
+
+
+def rasterize_v_image(mesh: Mesh, uv: np.ndarray, size: int,
+                      dilate: int = 2):
+    """-> (V [size, size, 3] float32 texel->3D positions, tri_image
+    [size, size] int32 with -1 for empty). C++ rasterizer; equivalent of
+    parameterization_utils.fill_triangles_fill_boundary."""
+    lib = _get_lib()
+    face_uv = np.ascontiguousarray(uv[mesh.faces], np.float32)      # [F,3,2]
+    face_pos = np.ascontiguousarray(
+        mesh.vertices[mesh.faces], np.float32
+    )  # [F,3,3]
+    v_image = np.empty((size, size, 3), np.float32)
+    tri_image = np.empty((size, size), np.int32)
+    lib.qf_rasterize_uv(
+        _f32p(face_uv), _f32p(face_pos), mesh.faces.shape[0],
+        size, size, dilate, _f32p(v_image), _i32p(tri_image),
+    )
+    return v_image, tri_image

@@ -74,6 +74,10 @@ def _get_lib():
         lib.qf_decimate_cluster.argtypes = [
             c_f32p, ctypes.c_int64, c_i32p, ctypes.c_int64, ctypes.c_float,
         ]
+        lib.qf_rasterize_uv.argtypes = [
+            c_f32p, c_f32p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, c_f32p, c_i32p,
+        ]
         lib.qf_segment_mesh.argtypes = [
             c_f32p, ctypes.c_int64, c_i32p, ctypes.c_int64,
             ctypes.c_float, ctypes.c_int32, c_i32p,

@@ -20,10 +20,10 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:  # jax>=0.4.35
-    from jax.experimental.shard_map import shard_map
+try:  # jax>=0.6
+    from jax import shard_map
 except ImportError:  # pragma: no cover
-    from jax.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map
 
 from ..models.ngp import NGPConfig
 from ..render.renderer import RenderConfig, render_rays_occgrid

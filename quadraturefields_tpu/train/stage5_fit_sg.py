@@ -1,0 +1,299 @@
+"""Stage 5: fit a spherical-Gaussian appearance model at mesh hits.
+
+Rebuild of examples/train_fit_sg.py: the SG model (NGPRadianceFieldSGNew
+head) learns rgb at ray-mesh hit points; density comes from the frozen
+finetuned radiance field (no grad, utils.py:701-706); composite with
+constant deltas and smooth-L1 against pixels (train_fit_sg.py:455-456).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.nerf_synthetic import SubjectLoader
+from ..geometry.intersect import HitPrefetcher, MeshIntersection
+from ..geometry.meshio import Mesh
+from ..models.ngp import NGPConfig, ngp_forward, ngp_init, ngp_query_density
+from ..ops.grid import (
+    OccGridConfig,
+    OccGridState,
+    occ_grid_init,
+    occ_grid_update,
+    max_march_steps,
+)
+from ..render.quadrature import HitRows, render_fit_sg_rows
+from ..utils.batching import bucket_num_rays
+from ..utils.checkpoint import load_checkpoint, save_checkpoint
+from ..utils.metrics import psnr, smooth_l1_loss, ssim
+from ..utils.optim import reference_lr_schedule
+
+
+@dataclasses.dataclass
+class Stage5Config:
+    scene: str = "lego"
+    data_root: str = "data/nerf_synthetic"
+    exp_name: str = "finetune_sg"
+    root: str = "runs/"
+    ckpt_path: str = ""     # stage-4 finetune checkpoint
+    mesh_path: str = ""     # mesh.ply from stage 4
+    max_steps: int = 20000
+    init_batch_size: int = 1024
+    batch_size_log2: int = 18
+    occ_thres: float = 0.01
+    scaling: float = 0.0434
+    up_sample: int = 2
+    max_hits: int = 25
+    num_lobes: int = 6
+    num_layers: int = 2
+    log2_hashmap_size: int = 19
+    scale: float = 1.5
+    lr: float = 2e-2
+    grid_resolution: int = 128
+    render_step_size: float = 5e-3
+    ckpt_every: int = 1000
+    log_every: int = 100
+    seed: int = 42
+    eval_views: Optional[int] = None
+
+    @property
+    def target_sample_batch_size(self) -> int:
+        return 1 << self.batch_size_log2
+
+    @property
+    def aabb(self) -> np.ndarray:
+        return np.array([-1, -1, -1, 1, 1, 1], np.float32) * self.scale
+
+    def sg_config(self) -> NGPConfig:
+        return NGPConfig(
+            head="sg",
+            use_viewdirs=False,
+            num_g_lobes=self.num_lobes,
+            num_layers=self.num_layers,
+            log2_hashmap_size=self.log2_hashmap_size,
+        )
+
+    def teacher_config(self) -> NGPConfig:
+        return NGPConfig(
+            head="mlp",
+            use_viewdirs=False,
+            num_layers=self.num_layers,
+            log2_hashmap_size=self.log2_hashmap_size,
+        )
+
+
+class Stage5Trainer:
+    def __init__(
+        self,
+        cfg: Stage5Config,
+        teacher_params=None,
+        occ_state=None,
+        mesh: Optional[Mesh] = None,
+        train_dataset=None,
+    ):
+        self.cfg = cfg
+        self.sg_cfg = cfg.sg_config()
+        self.teacher_cfg = cfg.teacher_config()
+        self.occ_cfg = OccGridConfig(
+            resolution=cfg.grid_resolution, occ_thre=cfg.occ_thres
+        )
+        self.aabb = jnp.asarray(cfg.aabb)
+
+        key = jax.random.PRNGKey(cfg.seed)
+        self.key, k_sg, k_t = jax.random.split(key, 3)
+        if teacher_params is None:
+            template = {
+                "radiance_field": ngp_init(k_t, self.teacher_cfg),
+                "occs": jnp.zeros((cfg.grid_resolution**3,), jnp.float32),
+                "binaries": jnp.ones((cfg.grid_resolution,) * 3, bool),
+            }
+            ckpt = load_checkpoint(cfg.ckpt_path, template)
+            teacher_params = ckpt["radiance_field"]
+            occ_state = OccGridState(
+                occs=jnp.asarray(ckpt["occs"]),
+                binaries=jnp.asarray(ckpt["binaries"]),
+                aabb=self.aabb,
+            )
+        self.teacher_params = teacher_params
+        self.occ_state = occ_state or occ_grid_init(self.aabb, self.occ_cfg)
+
+        # mesh.ply from stage 4 is already world-scaled: scale=1,
+        # simplify_mesh=False (train_fit_sg.py:220-227)
+        self.mesh_intersect = MeshIntersection(
+            mesh_path=cfg.mesh_path or None,
+            mesh=mesh,
+            simplify_mesh=False,
+            scale=1.0,
+            num_intersections=cfg.max_hits,
+            render_step_size=cfg.render_step_size,
+        )
+
+        self.sg_params = ngp_init(k_sg, self.sg_cfg)
+        schedule = reference_lr_schedule(
+            cfg.lr, cfg.max_steps, warmup_iters=1000,
+            milestones=[
+                cfg.max_steps // 4,
+                cfg.max_steps * 2,
+                cfg.max_steps * 6 // 10,
+            ],
+        )
+        self.optimizer = optax.chain(
+            optax.scale_by_adam(eps=1e-15),
+            optax.scale_by_learning_rate(schedule),
+        )
+        self.opt_state = self.optimizer.init(self.sg_params)
+        self.step = 0
+
+        self.train_dataset = train_dataset or SubjectLoader(
+            subject_id=cfg.scene,
+            root_fp=cfg.data_root,
+            split="train",
+            num_rays=cfg.init_batch_size,
+            upsample=cfg.up_sample,
+            seed=cfg.seed,
+        )
+        self.prefetcher = HitPrefetcher(
+            self.train_dataset.fetch_train_batch, self.mesh_intersect,
+            depth=2,
+        )
+        self._occ_update = jax.jit(self._occ_update_impl)
+        self._train_step = jax.jit(self._train_step_impl)
+        self._eval_render = jax.jit(self._eval_render_impl)
+
+    def _occ_update_impl(self, occ_state, step, key):
+        def occ_eval_fn(x):
+            d = ngp_query_density(
+                self.teacher_params, x, self.aabb, self.teacher_cfg
+            )
+            return d[..., 0] * self.cfg.render_step_size
+
+        return occ_grid_update(occ_state, step, key, occ_eval_fn,
+                               self.occ_cfg)
+
+    def _loss_fn(self, sg_params, origins, viewdirs, pixels, bkgd,
+                 tri_ids, ts, valid):
+        hits = HitRows(tri_ids=tri_ids, ts=ts, valid=valid)
+        rgb, alpha, depth, _ = render_fit_sg_rows(
+            sg_params, self.teacher_params, hits, origins, viewdirs,
+            self.aabb, self.sg_cfg, self.teacher_cfg,
+            ngp_forward_fn=lambda p, x, d, a, c: (
+                lambda r: (r[0], r[1][..., 0])
+            )(ngp_forward(p, x, d, a, c)),
+            render_step_size=self.cfg.render_step_size,
+            bg_color="random",
+            render_bkgd=bkgd,
+        )
+        loss = smooth_l1_loss(rgb, pixels)
+        return loss, (rgb, jnp.sum(valid))
+
+    def _train_step_impl(self, sg_params, opt_state, origins, viewdirs,
+                         pixels, bkgd, tri_ids, ts, valid):
+        (loss, (rgb, n_hits)), grads = jax.value_and_grad(
+            self._loss_fn, has_aux=True
+        )(sg_params, origins, viewdirs, pixels, bkgd, tri_ids, ts, valid)
+        updates, opt_state = self.optimizer.update(
+            grads, opt_state, sg_params
+        )
+        sg_params = optax.apply_updates(sg_params, updates)
+        return sg_params, opt_state, loss, n_hits, \
+            jnp.mean((rgb - pixels) ** 2)
+
+    def _eval_render_impl(self, sg_params, origins, viewdirs, tri_ids,
+                          ts, valid):
+        hits = HitRows(tri_ids=tri_ids, ts=ts, valid=valid)
+        rgb, alpha, depth, _ = render_fit_sg_rows(
+            sg_params, self.teacher_params, hits, origins, viewdirs,
+            self.aabb, self.sg_cfg, self.teacher_cfg,
+            ngp_forward_fn=lambda p, x, d, a, c: (
+                lambda r: (r[0], r[1][..., 0])
+            )(ngp_forward(p, x, d, a, c)),
+            render_step_size=self.cfg.render_step_size,
+            bg_color="white",
+        )
+        return rgb, alpha, depth
+
+    def train_one_step(self):
+        cfg = self.cfg
+        step = self.step
+        self.key, k_occ = jax.random.split(self.key)
+        if step % self.occ_cfg.update_interval == 0:
+            self.occ_state = self._occ_update(self.occ_state, step, k_occ)
+        batch, tri_ids, ts, valid, _ = self.prefetcher.next()
+        self.sg_params, self.opt_state, loss, n_hits, mse = \
+            self._train_step(
+                self.sg_params, self.opt_state,
+                jnp.asarray(batch["rays"].origins),
+                jnp.asarray(batch["rays"].viewdirs),
+                jnp.asarray(batch["pixels"]),
+                jnp.asarray(batch["color_bkgd"]),
+                jnp.asarray(tri_ids), jnp.asarray(ts), jnp.asarray(valid),
+            )
+        nh = int(n_hits)
+        if nh > 0:
+            num_rays = int(
+                self.train_dataset.num_rays
+                * cfg.target_sample_batch_size / float(nh)
+            )
+            self.train_dataset.update_num_rays(bucket_num_rays(num_rays))
+        self.step += 1
+        return loss, nh, mse
+
+    def render_view(self, data, chunk: int = 4096):
+        origins = np.asarray(data["rays"].origins)
+        viewdirs = np.asarray(data["rays"].viewdirs)
+        n = origins.shape[0]
+        n_pad = (n + chunk - 1) // chunk * chunk
+        o = np.concatenate([origins, np.zeros((n_pad - n, 3), np.float32)])
+        d = np.concatenate(
+            [viewdirs, np.tile([[0, 0, 1.0]], (n_pad - n, 1))]
+        ).astype(np.float32)
+        outs = []
+        for i in range(0, n_pad, chunk):
+            oc, dc = o[i:i + chunk], d[i:i + chunk]
+            tri_ids, ts, valid = self.mesh_intersect.intersect_rows(oc, dc)
+            rgb, _, _ = self._eval_render(
+                self.sg_params, jnp.asarray(oc), jnp.asarray(dc),
+                jnp.asarray(tri_ids), jnp.asarray(ts), jnp.asarray(valid),
+            )
+            outs.append(np.asarray(rgb))
+        return np.concatenate(outs)[:n]
+
+    def train(self, log_fn=print):
+        cfg = self.cfg
+        out_dir = os.path.join(cfg.root, "results", cfg.scene, cfg.exp_name)
+        ckpt_dir = os.path.join(cfg.root, "ckpts", cfg.scene, cfg.exp_name)
+        os.makedirs(out_dir, exist_ok=True)
+        os.makedirs(ckpt_dir, exist_ok=True)
+        tic = time.time()
+        while self.step <= cfg.max_steps:
+            step = self.step
+            loss, nh, mse = self.train_one_step()
+            if step % cfg.log_every == 0:
+                p = -10.0 * float(jnp.log(mse)) / np.log(10)
+                log_fn(
+                    f"elapsed={time.time() - tic:.1f}s | step={step} | "
+                    f"loss={float(loss):.5f} | psnr={p:.2f} | hits={nh} | "
+                    f"num_rays={self.train_dataset.num_rays}"
+                )
+            if step > 0 and step % cfg.ckpt_every == 0:
+                self.save(os.path.join(ckpt_dir, "fit_sg"))
+        self.save(os.path.join(ckpt_dir, "fit_sg"))
+        self.prefetcher.stop()
+
+    def save(self, path):
+        save_checkpoint(
+            path,
+            {
+                "radiance_field": self.sg_params,
+                "occs": self.occ_state.occs,
+                "binaries": self.occ_state.binaries,
+                "opt_state": self.opt_state,
+                "step": self.step,
+            },
+        )
