@@ -1,0 +1,53 @@
+"""CLI: stage-2 quadrature-field training (reference
+examples/train_field.py)."""
+from __future__ import annotations
+
+import argparse
+
+from ..train.stage2_field import Stage2Config, Stage2Trainer
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_root", type=str, default="data/nerf_synthetic")
+    p.add_argument("--train_split", type=str, default="train")
+    p.add_argument("--root", type=str, default="runs/")
+    p.add_argument("--exp_name", type=str, default="field")
+    p.add_argument("--scene", type=str, default="lego")
+    p.add_argument("--ckpt_path", type=str, required=True)
+    p.add_argument("--occ_thres", type=float, default=0.01)
+    p.add_argument("--num_lobes", type=int, default=2)
+    p.add_argument("--num_layers", type=int, default=2)
+    p.add_argument("--log2_hashmap_size", type=int, default=19)
+    p.add_argument("--field_log2_hashmap_size", type=int, default=30)
+    p.add_argument("--batch_size", type=int, default=18)
+    p.add_argument("--scale", type=float, default=1.5)
+    p.add_argument("--max_steps", type=int, default=25000)
+    p.add_argument("--grid_export_size", type=int, default=1024)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = Stage2Config(
+        scene=args.scene,
+        data_root=args.data_root,
+        exp_name=args.exp_name,
+        root=args.root,
+        ckpt_path=args.ckpt_path,
+        train_split=args.train_split,
+        max_steps=args.max_steps,
+        batch_size_log2=args.batch_size,
+        occ_thres=args.occ_thres,
+        num_lobes=args.num_lobes,
+        num_layers=args.num_layers,
+        log2_hashmap_size=args.log2_hashmap_size,
+        field_log2_hashmap_size=args.field_log2_hashmap_size,
+        scale=args.scale,
+        grid_export_size=args.grid_export_size,
+    )
+    Stage2Trainer(cfg).train()
+
+
+if __name__ == "__main__":
+    main()

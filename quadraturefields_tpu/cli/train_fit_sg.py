@@ -1,0 +1,56 @@
+"""CLI: stage-5 SG fitting (reference examples/train_fit_sg.py)."""
+from __future__ import annotations
+
+import argparse
+
+from ..train.stage5_fit_sg import Stage5Config, Stage5Trainer
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_root", type=str, default="data/nerf_synthetic")
+    p.add_argument("--root", type=str, default="runs/")
+    p.add_argument("--exp_name", type=str, default="finetune_sg")
+    p.add_argument("--scene", type=str, default="lego")
+    p.add_argument("--ckpt_path", type=str, required=True)
+    p.add_argument("--mesh_path", type=str, required=True)
+    p.add_argument("--scaling", type=float, default=0.0434)
+    p.add_argument("--up_sample", type=float, default=2.0)
+    p.add_argument("--max_hits", type=int, default=25)
+    p.add_argument("--num_lobes", type=int, default=6)
+    p.add_argument("--num_layers", type=int, default=2)
+    p.add_argument("--log2_hashmap_size", type=int, default=19)
+    p.add_argument("--batch_size", type=int, default=18)
+    p.add_argument("--scale", type=float, default=1.5)
+    p.add_argument("--max_iterations", type=int, default=20000)
+    p.add_argument("--occ_thres", type=float, default=0.01)
+    p.add_argument("--optix", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    scale = 2.0 if args.scene in ("horse", "woolly") else args.scale
+    cfg = Stage5Config(
+        scene=args.scene,
+        data_root=args.data_root,
+        exp_name=args.exp_name,
+        root=args.root,
+        ckpt_path=args.ckpt_path,
+        mesh_path=args.mesh_path,
+        max_steps=args.max_iterations,
+        batch_size_log2=args.batch_size,
+        occ_thres=args.occ_thres,
+        scaling=args.scaling,
+        up_sample=int(args.up_sample),
+        max_hits=args.max_hits,
+        num_lobes=args.num_lobes,
+        num_layers=args.num_layers,
+        log2_hashmap_size=args.log2_hashmap_size,
+        scale=scale,
+    )
+    Stage5Trainer(cfg).train()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""CLI: stage-1 NGP training (reference examples/train_ngp_nerf_sg_occ.py).
+
+Same knob names as the reference argparse so the shell scripts map 1:1.
+  python -m quadraturefields_tpu.cli.train_ngp --scene lego \
+      --data_root data/nerf_synthetic --root runs/ --exp_name nerf \
+      --batch_size 18 --max_steps 20000
+"""
+from __future__ import annotations
+
+import argparse
+
+from ..train.stage1_ngp import Stage1Config, Stage1Trainer
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_root", type=str, default="data/nerf_synthetic")
+    p.add_argument("--train_split", type=str, default="train",
+                   choices=["train", "trainval"])
+    p.add_argument("--reg_type", type=str, default="occ")
+    p.add_argument("--occ_thres", type=float, default=0.01)
+    p.add_argument("--root", type=str, default="runs/")
+    p.add_argument("--exp_name", type=str, default="ngp")
+    p.add_argument("--scene", type=str, default="lego")
+    p.add_argument("--num_lobes", type=int, default=2)
+    p.add_argument("--o_lambda", type=float, default=1e-3)
+    p.add_argument("--c_lambda", type=float, default=1e-5)
+    p.add_argument("--num_layers", type=int, default=2)
+    p.add_argument("--log2_hashmap_size", type=int, default=19)
+    p.add_argument("--batch_size", type=int, default=18)
+    p.add_argument("--scale", type=float, default=1.5)
+    p.add_argument("--max_steps", type=int, default=20000)
+    p.add_argument("--save_images", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = Stage1Config(
+        scene=args.scene,
+        data_root=args.data_root,
+        exp_name=args.exp_name,
+        root=args.root,
+        train_split=args.train_split,
+        max_steps=args.max_steps,
+        batch_size_log2=args.batch_size,
+        occ_thres=args.occ_thres,
+        reg_type=args.reg_type,
+        o_lambda=args.o_lambda,
+        c_lambda=args.c_lambda,
+        num_lobes=args.num_lobes,
+        num_layers=args.num_layers,
+        log2_hashmap_size=args.log2_hashmap_size,
+        scale=args.scale,
+        save_images=args.save_images,
+    )
+    trainer = Stage1Trainer(cfg)
+    metrics = trainer.train()
+    print("evaluation:", metrics)
+
+
+if __name__ == "__main__":
+    main()

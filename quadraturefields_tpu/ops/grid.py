@@ -182,8 +182,8 @@ def occ_grid_sampling(
     render_step_size: float,
     max_steps: int,
     max_samples_total: int,
-    near_plane: float = 0.0,
-    far_plane: float = 1e10,
+    near_plane=0.0,   # scalar or per-ray [n_rays]
+    far_plane=1e10,   # scalar or per-ray [n_rays]
     stratified: bool = False,
     key=None,
 ) -> PackedSamples:

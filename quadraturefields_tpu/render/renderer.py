@@ -222,6 +222,111 @@ def render_rays_field(
     )
 
 
+def make_test_renderer(
+    ngp_params,
+    aabb,
+    ngp_cfg: NGPConfig,
+    rcfg: RenderConfig,
+    window_steps: int = 64,
+    window_budget: int = 1 << 16,
+    early_stop_eps: float = 1e-4,
+):
+    """Memory-bounded iterative alive-ray renderer (test-time path).
+
+    Reference: render_image_with_occgrid_test (utils.py:175-350) — march
+    alive rays a fixed number of steps per iteration, composite with the
+    carried prefix transmittance, retire rays whose opacity crosses
+    1 - early_stop_eps. Here each iteration is one jitted window render
+    over a fixed t-window per ray (cursor += window_steps * dt); the
+    host loop stops when every ray has terminated or left the AABB.
+
+    Returns render_fn(occ_state, origins, viewdirs) -> (rgb, opacity,
+    depth, total_samples) for a fixed-size ray chunk.
+    """
+    dt = rcfg.render_step_size
+
+    @jax.jit
+    def window(occ_state, origins, viewdirs, near_planes, rgb, opacity,
+               depth, alive):
+        n_rays = origins.shape[0]
+        far = jnp.where(alive, near_planes + window_steps * dt, 0.0)
+        # per-ray window [cursor, cursor + K*dt): the sampler's
+        # near/far accept per-ray arrays
+        samples = occ_grid_sampling(
+            occ_state, origins, viewdirs,
+            render_step_size=dt,
+            max_steps=window_steps,
+            max_samples_total=window_budget,
+            near_plane=near_planes,
+            far_plane=far,
+        )
+        idx = jnp.clip(samples.ray_indices, 0, n_rays - 1)
+        in_window = samples.valid & alive[idx]
+        pos, dirs, _ = _sample_positions(samples, origins, viewdirs, n_rays)
+        rgbs, sigmas = ngp_forward(ngp_params, pos, dirs, aabb, ngp_cfg)
+        sigmas = jnp.where(in_window, sigmas[..., 0], 0.0)
+
+        boundaries = scan.mark_pack_boundaries(samples.ray_indices)
+        weights, trans, alphas = scan.render_weight_from_density(
+            samples.t_starts, samples.t_ends, sigmas, boundaries
+        )
+        prefix = 1.0 - opacity[idx, 0]
+        weights = jnp.where(in_window, weights * prefix, 0.0)
+        if rcfg.alpha_thre > 0:
+            weights = jnp.where(alphas >= rcfg.alpha_thre, weights, 0.0)
+
+        rgb = rgb + scan.accumulate_along_rays(
+            weights, samples.ray_indices, rgbs, n_rays
+        )
+        opacity = opacity + scan.accumulate_along_rays(
+            weights, samples.ray_indices, None, n_rays
+        )
+        t_mid = (samples.t_starts + samples.t_ends) / 2.0
+        depth = depth + scan.accumulate_along_rays(
+            weights, samples.ray_indices, t_mid[..., None], n_rays
+        )
+        near_planes = far
+        t_max = ray_aabb_t_max(occ_state.aabb, origins, viewdirs,
+                               rcfg.far_plane)
+        alive = (
+            (opacity[:, 0] <= 1.0 - early_stop_eps)
+            & (near_planes < t_max)
+        )
+        return near_planes, rgb, opacity, depth, alive, jnp.sum(in_window)
+
+    def render_fn(occ_state, origins, viewdirs, render_bkgd=None,
+                  max_windows: int = 64):
+        import numpy as np
+
+        n_rays = origins.shape[0]
+        near = jnp.full((n_rays,), rcfg.near_plane)
+        rgb = jnp.zeros((n_rays, 3))
+        opacity = jnp.zeros((n_rays, 1))
+        depth = jnp.zeros((n_rays, 1))
+        alive = jnp.ones((n_rays,), bool)
+        total = 0
+        for _ in range(max_windows):
+            near, rgb, opacity, depth, alive, ns = window(
+                occ_state, origins, viewdirs, near, rgb, opacity, depth,
+                alive,
+            )
+            total += int(ns)
+            if not bool(jnp.any(alive)):
+                break
+        if render_bkgd is not None:
+            rgb = rgb + render_bkgd * (1.0 - opacity)
+        return rgb, opacity, depth, total
+
+    return render_fn
+
+
+def ray_aabb_t_max(aabb, origins, viewdirs, far_plane):
+    from ..ops.grid import ray_aabb_intersect
+
+    _, t_max, _ = ray_aabb_intersect(origins, viewdirs, aabb)
+    return jnp.minimum(t_max, far_plane)
+
+
 def render_image_with_occgrid(
     render_fn_jitted,
     origins,

@@ -5,7 +5,9 @@ process; pytest imports conftest.py before collecting test modules.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the machine env pins JAX_PLATFORMS=axon (the real TPU), and
+# tests must not contend with benchmarks for the single chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
