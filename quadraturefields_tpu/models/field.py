@@ -42,6 +42,7 @@ class FieldConfig:
     bias_last: bool = True
     compute_dtype: str = "float32"
     table_dtype: str = "float32"
+    interp: str = "cube"  # "tet" halves table lookups (see hashgrid.py)
 
     @property
     def hashgrid(self) -> HashGridConfig:
@@ -57,6 +58,7 @@ class FieldConfig:
             base_resolution=self.min_resolution,
             per_level_scale=b,
             dtype=self.table_dtype,
+            interp=self.interp,
         )
 
     @property

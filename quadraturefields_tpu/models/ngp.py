@@ -48,6 +48,7 @@ class NGPConfig:
     discretize: bool = False
     compute_dtype: str = "bfloat16"
     table_dtype: str = "float32"
+    interp: str = "cube"  # "tet" halves table lookups (see hashgrid.py)
 
     @property
     def hashgrid(self) -> HashGridConfig:
@@ -58,6 +59,7 @@ class NGPConfig:
             n_features=2,
             log2_hashmap_size=self.log2_hashmap_size,
             dtype=self.table_dtype,
+            interp=self.interp,
         )
 
     @property
@@ -214,3 +216,32 @@ def ngp_features_to_rgb(features, dirs, cfg: NGPConfig):
     diffuse = features[:, :3]
     sg = _spherical_gaussian_mixture(features[:, 3:], dirs, cfg.num_g_lobes)
     return jax.nn.sigmoid(diffuse + sg)
+
+
+def _sg_mixture_old(feats, dirs, num_lobes: int):
+    """Old SG layout: per lobe 3 x [axis(3), lambda(1), amplitude(1)],
+    one 5-tuple per color channel; a = |amp| * exp(-lambda*(1-axis.dir)).
+    Reference NGPRadianceFieldSG (ngp.py:559-579)."""
+    n = feats.shape[0]
+    lobes = feats.reshape(n, num_lobes, 3, 5)
+    axis = lobes[..., :3]
+    axis = axis / jnp.linalg.norm(axis, axis=-1, keepdims=True)
+    lam = jnp.abs(lobes[..., 3])
+    amp = jnp.abs(lobes[..., 4])
+    dot = jnp.sum(axis * dirs[:, None, None, :], axis=-1)
+    g = amp * jnp.exp(-lam * (1.0 - dot))  # [n, lobes, 3]
+    return jnp.sum(g, axis=1)
+
+
+def ngp_sg_old_head_output_dim(num_lobes: int) -> int:
+    """3 + num_lobes * 3 * (3+1+1), reference ngp.py:553."""
+    return 3 + num_lobes * 15
+
+
+def ngp_sg_old_features_to_rgb(features, dirs, num_lobes: int):
+    """features_to_rgb of the older NGPRadianceFieldSG layout
+    (ngp.py:642-645)."""
+    diffuse = features[:, :3]
+    return jax.nn.sigmoid(
+        diffuse + _sg_mixture_old(features[:, 3:], dirs, num_lobes)
+    )

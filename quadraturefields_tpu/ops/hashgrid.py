@@ -21,6 +21,7 @@ and position scaling pos = x * scale_l + 0.5.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Tuple
 
@@ -40,6 +41,13 @@ class HashGridConfig:
     base_resolution: int = 16
     per_level_scale: float = 1.4472692012786865
     dtype: str = "float32"  # table dtype; compute is fp32
+    # "cube" = trilinear over 8 corners (tcnn parity); "tet" = exact
+    # piecewise-linear over the Kuhn simplex (4 lookups, TPU-friendly)
+    interp: str = "cube"
+
+    @property
+    def corners(self) -> int:
+        return 8 if self.interp == "cube" else 4
 
     @staticmethod
     def from_max_resolution(
@@ -49,6 +57,7 @@ class HashGridConfig:
         n_features: int = 2,
         log2_hashmap_size: int = 19,
         dtype: str = "float32",
+        interp: str = "cube",
     ) -> "HashGridConfig":
         """per_level_scale = exp((ln max_res - ln base_res)/(L-1)),
         the reference's derivation (ngp.py:320-322, field.py:154)."""
@@ -63,6 +72,7 @@ class HashGridConfig:
             base_resolution=base_resolution,
             per_level_scale=s,
             dtype=dtype,
+            interp=interp,
         )
 
     @property
@@ -144,43 +154,139 @@ _CORNERS = np.array(
 )
 
 
-def hashgrid_encode(table, x, cfg: HashGridConfig):
-    """Encode positions x [N, 3] in [0,1]^3 -> features [N, L*F].
+def _corner_indices_weights(x, cfg: HashGridConfig):
+    """All-level corner table indices + interpolation weights.
 
-    Differentiable w.r.t. both `table` (scatter-add VJP from the gather)
-    and `x` (through the trilerp weights), so callers can take field
-    gradients w.r.t. positions when they do not stop-gradient the input
-    (the reference's back_prop flag, field.py:195-199).
+    Returns (idx [N, L*C], w [N, L*C]) with C = 8 (trilinear cube) or
+    4 (tetrahedral). Tetrahedral mode ("tet") interpolates on the Kuhn
+    triangulation of the grid cell — exact piecewise-linear, continuous
+    across cells, and half the lookups; it is the TPU-friendly default
+    knob for training throughput (XLA gather/scatter cost scales with
+    the index count; see hashgrid_pallas.py header for measurements).
     """
-    x = jnp.clip(x, 0.0, 1.0)
-    outs = []
-    scales = cfg.level_scales
-    resolutions = cfg.level_resolutions
-    sizes = cfg.level_sizes
-    offsets = cfg.level_offsets
     compute_dtype = jnp.float32
+    n = x.shape[0]
+    idx_all, w_all = [], []
     for l in range(cfg.n_levels):
         pos = x.astype(compute_dtype) * jnp.asarray(
-            scales[l], compute_dtype
+            cfg.level_scales[l], compute_dtype
         ) + 0.5
         pos_floor = jnp.floor(pos)
         frac = pos - pos_floor
         base = pos_floor.astype(jnp.int32)
-        res = resolutions[l]
-        # corners: [N, 8, 3]
-        corners = jnp.clip(
-            base[:, None, :] + jnp.asarray(_CORNERS)[None, :, :], 0, res - 1
-        )
-        idx = _level_indices(corners, res, sizes[l]) + offsets[l]  # [N, 8]
-        feats = table[idx].astype(compute_dtype)  # [N, 8, F]
-        # trilinear weights: prod over axes of (1-frac or frac)
-        w = jnp.ones(idx.shape, compute_dtype)
-        for axis in range(3):
-            c = jnp.asarray(_CORNERS)[None, :, axis].astype(compute_dtype)
-            f = frac[:, None, axis]
-            w = w * (c * f + (1.0 - c) * (1.0 - f))
-        outs.append(jnp.sum(feats * w[..., None], axis=1))  # [N, F]
-    return jnp.concatenate(outs, axis=-1)
+        res = cfg.level_resolutions[l]
+        if cfg.interp == "cube":
+            corners = jnp.clip(
+                base[:, None, :] + jnp.asarray(_CORNERS)[None, :, :],
+                0, res - 1,
+            )
+            w = jnp.ones((n, 8), compute_dtype)
+            for axis in range(3):
+                c = jnp.asarray(_CORNERS)[None, :, axis].astype(
+                    compute_dtype
+                )
+                f = frac[:, None, axis]
+                w = w * (c * f + (1.0 - c) * (1.0 - f))
+        else:  # tetrahedral (Kuhn simplex) interpolation
+            # sort fractional coords descending: the containing simplex
+            # of the cube has corners 0, e_{p1}, e_{p1}+e_{p2}, (1,1,1)
+            order = jnp.argsort(-frac, axis=1)  # [N, 3]
+            f_sorted = jnp.take_along_axis(frac, order, axis=1)
+            # barycentric weights
+            w0 = 1.0 - f_sorted[:, 0]
+            w1 = f_sorted[:, 0] - f_sorted[:, 1]
+            w2 = f_sorted[:, 1] - f_sorted[:, 2]
+            w3 = f_sorted[:, 2]
+            w = jnp.stack([w0, w1, w2, w3], axis=1)
+            # corner offsets: cumulative one-hots of the sorted axes
+            eye = jnp.eye(3, dtype=jnp.int32)
+            steps = eye[order]  # [N, 3, 3] unit offsets in sorted order
+            c0 = jnp.zeros((n, 3), jnp.int32)
+            c1 = steps[:, 0]
+            c2 = c1 + steps[:, 1]
+            c3 = c2 + steps[:, 2]
+            corners = jnp.stack([c0, c1, c2, c3], axis=1) + base[:, None]
+            corners = jnp.clip(corners, 0, res - 1)
+        idx = _level_indices(corners, res, cfg.level_sizes[l]) \
+            + cfg.level_offsets[l]
+        idx_all.append(idx)
+        w_all.append(w)
+    return jnp.concatenate(idx_all, axis=1), jnp.concatenate(w_all, axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def hashgrid_encode(table, x, cfg: HashGridConfig):
+    """Encode positions x [N, 3] in [0,1]^3 -> features [N, L*F].
+
+    Differentiable w.r.t. both `table` and `x` (through the
+    interpolation weights), so callers can take field gradients w.r.t.
+    positions when they do not stop-gradient the input (the reference's
+    back_prop flag, field.py:195-199).
+
+    Custom VJP: the table cotangent uses a flat *scalar* scatter-add —
+    measured 6x faster than XLA's default row scatter on TPU v5e
+    (13 ns/idx vs 81 ns/idx).
+    """
+    out, _ = _encode_fwd_impl(table, x, cfg)
+    return out
+
+
+def _encode_fwd_impl(table, x, cfg: HashGridConfig):
+    x = jnp.clip(x, 0.0, 1.0)
+    n = x.shape[0]
+    C = cfg.corners
+    L = cfg.n_levels
+    idx, w = _corner_indices_weights(x, cfg)     # [N, L*C]
+    feats = table.at[idx].get(
+        mode="promise_in_bounds"
+    ).astype(jnp.float32)                        # [N, L*C, F]
+    out = jnp.sum(
+        feats.reshape(n, L, C, cfg.n_features)
+        * w.reshape(n, L, C, 1),
+        axis=2,
+    ).reshape(n, L * cfg.n_features)
+    return out, (idx, w, feats, x)
+
+
+def _encode_fwd(table, x, cfg: HashGridConfig):
+    out, res = _encode_fwd_impl(table, x, cfg)
+    return out, res
+
+
+def _encode_bwd(cfg: HashGridConfig, saved, g):
+    idx, w, feats, x = saved
+    table_dtype = jnp.dtype(cfg.dtype)
+    n = x.shape[0]
+    L, C, F = cfg.n_levels, cfg.corners, cfg.n_features
+    g = g.reshape(n, L, 1, F)
+    # dL/dtable: scatter w*g at the corner entries — flattened to
+    # scalar indices (fast path on TPU)
+    contrib = (w.reshape(n, L, C, 1) * g).reshape(n * L * C, F)
+    flat_idx = (idx.reshape(-1, 1) * F
+                + jnp.arange(F, dtype=idx.dtype)[None, :]).reshape(-1)
+    d_table = (
+        jnp.zeros((cfg.total_entries * F,), jnp.float32)
+        .at[flat_idx]
+        .add(contrib.reshape(-1), mode="promise_in_bounds")
+        .reshape(cfg.total_entries, F)
+        .astype(table_dtype)
+    )
+    # dL/dx via the interpolation-weight jacobian, computed with jvp
+    # transpose: dL/dw[c] = sum_f feats[c,f]*g[f]; dw/dx from autodiff
+    dL_dw = jnp.sum(
+        feats.reshape(n, L, C, F) * g, axis=-1
+    ).reshape(n, L * C)
+
+    def w_of_x(xx):
+        _, ww = _corner_indices_weights(jnp.clip(xx, 0.0, 1.0), cfg)
+        return ww
+
+    _, pullback = jax.vjp(w_of_x, x)
+    (d_x,) = pullback(dL_dw)
+    return d_table, d_x
+
+
+hashgrid_encode.defvjp(_encode_fwd, _encode_bwd)
 
 
 def hashgrid_encode_batched(table, x, cfg: HashGridConfig, chunk: int = 2**20):

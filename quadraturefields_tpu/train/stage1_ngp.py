@@ -65,6 +65,7 @@ class Stage1Config:
     ckpt_every: int = 1000
     log_every: int = 100
     seed: int = 42
+    max_num_rays: int = 1 << 20
     compute_dtype: str = "bfloat16"
     eval_views: Optional[int] = None  # limit test views (None = all)
     save_images: bool = False
@@ -263,7 +264,9 @@ class Stage1Trainer:
             num_rays = int(
                 len(pixels) * cfg.target_sample_batch_size / float(n_valid)
             )
-            self.train_dataset.update_num_rays(bucket_num_rays(num_rays))
+            self.train_dataset.update_num_rays(
+                bucket_num_rays(num_rays, max_rays=cfg.max_num_rays)
+            )
         self.step += 1
         return loss, aux
 

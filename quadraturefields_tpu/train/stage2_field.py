@@ -76,6 +76,7 @@ class Stage2Config:
     ckpt_every: int = 1000
     log_every: int = 100
     seed: int = 42
+    max_num_rays: int = 1 << 20
     export_grids: bool = True
 
     @property
@@ -237,7 +238,9 @@ class Stage2Trainer:
                 self.train_dataset.num_rays
                 * cfg.target_sample_batch_size / float(nv)
             )
-            self.train_dataset.update_num_rays(bucket_num_rays(num_rays))
+            self.train_dataset.update_num_rays(
+                bucket_num_rays(num_rays, max_rays=cfg.max_num_rays)
+            )
         self.step += 1
         return loss, nv, mse
 

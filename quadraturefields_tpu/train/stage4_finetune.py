@@ -83,6 +83,14 @@ class Stage4Config:
     # smp_mesh.ply arrives pre-decimated from stage 3; the reference
     # passes simplify_mesh=False here (train_finetune.py:242)
     simplify_mesh: bool = False
+    # dynamic ray-batch cap: when few rays hit the mesh (early training,
+    # sparse fixture scenes), target/nh explodes; unbounded growth OOMs
+    # the deformation-field backward graph
+    max_num_rays: int = 1 << 18
+    # deformation-field capacity knobs (reference values: 24 / 512,
+    # train_finetune.py:387-399)
+    field_log2_hashmap_size: int = 24
+    field_max_res: int = 512
 
     @property
     def target_sample_batch_size(self) -> int:
@@ -108,9 +116,9 @@ class Stage4Config:
         return FieldConfig(
             scale=self.scale,
             back_prop=False,
-            log2_hashmap_size=24,
+            log2_hashmap_size=self.field_log2_hashmap_size,
             n_levels=16,
-            max_resolution=512,
+            max_resolution=self.field_max_res,
             min_resolution=16,
             output_dim=1,
             hidden_size=32,
@@ -343,7 +351,9 @@ class Stage4Trainer:
                 self.train_dataset.num_rays
                 * cfg.target_sample_batch_size / float(max(nh, 1))
             )
-            self.train_dataset.update_num_rays(bucket_num_rays(num_rays))
+            self.train_dataset.update_num_rays(
+                bucket_num_rays(num_rays, max_rays=cfg.max_num_rays)
+            )
         self.step += 1
         return loss, nh, mse
 

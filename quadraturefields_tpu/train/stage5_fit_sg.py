@@ -60,6 +60,7 @@ class Stage5Config:
     ckpt_every: int = 1000
     log_every: int = 100
     seed: int = 42
+    max_num_rays: int = 1 << 18
     eval_views: Optional[int] = None
 
     @property
@@ -240,7 +241,9 @@ class Stage5Trainer:
                 self.train_dataset.num_rays
                 * cfg.target_sample_batch_size / float(nh)
             )
-            self.train_dataset.update_num_rays(bucket_num_rays(num_rays))
+            self.train_dataset.update_num_rays(
+                bucket_num_rays(num_rays, max_rays=cfg.max_num_rays)
+            )
         self.step += 1
         return loss, nh, mse
 

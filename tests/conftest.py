@@ -1,19 +1,26 @@
 """Test configuration: run all tests on a virtual 8-device CPU mesh.
 
-Must set env vars before the first `import jax` anywhere in the test
-process; pytest imports conftest.py before collecting test modules.
+The machine environment pins JAX_PLATFORMS=axon (the single real TPU)
+and a sitecustomize imports jax at interpreter startup, so env-var
+edits here are too late — the platform must be forced through
+jax.config after import. XLA_FLAGS is still unread at this point (the
+CPU client spins up lazily), so the 8-device host platform flag works.
 """
 import os
 
-# Force CPU: the machine env pins JAX_PLATFORMS=axon (the real TPU), and
-# tests must not contend with benchmarks for the single chip.
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+def pytest_configure(config):
+    # fail fast if the TPU backend leaked into the test session
+    assert jax.devices()[0].platform == "cpu", jax.devices()

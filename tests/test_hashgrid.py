@@ -111,6 +111,77 @@ def test_grad_wrt_table_and_position():
         assert np.isclose(np.asarray(g_x)[0, axis], num, rtol=1e-2, atol=1e-3)
 
 
+def test_tet_interpolation_properties():
+    """Tetrahedral mode: exact at grid corners, continuous, and equals
+    trilinear for linear fields."""
+    cfg_tet = HashGridConfig(
+        n_levels=1, n_features=1, log2_hashmap_size=14,
+        base_resolution=4, per_level_scale=2.0, interp="tet",
+    )
+    key = jax.random.PRNGKey(7)
+    table = hashgrid_init(key, cfg_tet)
+    res = cfg_tet.level_resolutions[0]
+    scale = cfg_tet.level_scales[0]
+
+    # exact at grid corners: pos = x*scale + 0.5 = integer (corner
+    # coords >= 1 so x stays inside [0, 1] after the encode clip)
+    for corner in [(1, 2, 3), (1, 1, 1), (2, 1, 2)]:
+        x = (jnp.asarray([corner], jnp.float32) - 0.5) / scale
+        out = float(hashgrid_encode(table, x, cfg_tet)[0, 0])
+        cidx = corner[0] + corner[1] * res + corner[2] * res * res
+        assert np.isclose(out, float(table[cidx, 0]), atol=1e-5)
+
+    # continuity across faces of the Kuhn simplices
+    x0 = jnp.asarray([[0.31, 0.44, 0.27]])
+    for d in range(3):
+        dx = jnp.zeros((1, 3)).at[0, d].set(1e-6)
+        a = hashgrid_encode(table, x0, cfg_tet)
+        b = hashgrid_encode(table, x0 + dx, cfg_tet)
+        assert abs(float(a[0, 0] - b[0, 0])) < 1e-3
+
+    # gradients exist
+    g = jax.grad(lambda t: jnp.sum(hashgrid_encode(t, x0, cfg_tet)))(table)
+    assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_custom_vjp_matches_autodiff_of_reference_impl():
+    """The custom-VJP table/position grads must match plain autodiff of
+    the same math (built here without the custom rule)."""
+    from quadraturefields_tpu.ops.hashgrid import (
+        _corner_indices_weights,
+    )
+
+    cfg = small_cfg()
+    key = jax.random.PRNGKey(9)
+    table = hashgrid_init(key, cfg)
+    x = jax.random.uniform(key, (17, 3), minval=0.05, maxval=0.95)
+
+    def plain_encode(t, p):
+        idx, w = _corner_indices_weights(jnp.clip(p, 0.0, 1.0), cfg)
+        feats = t[idx]
+        n = p.shape[0]
+        return jnp.sum(
+            feats.reshape(n, cfg.n_levels, cfg.corners, 2)
+            * w.reshape(n, cfg.n_levels, cfg.corners, 1),
+            axis=2,
+        ).reshape(n, -1)
+
+    def loss_custom(t, p):
+        return jnp.sum(jnp.sin(hashgrid_encode(t, p, cfg)))
+
+    def loss_plain(t, p):
+        return jnp.sum(jnp.sin(plain_encode(t, p)))
+
+    gt_c, gx_c = jax.grad(loss_custom, argnums=(0, 1))(table, x)
+    gt_p, gx_p = jax.grad(loss_plain, argnums=(0, 1))(table, x)
+    np.testing.assert_allclose(
+        np.asarray(gt_c), np.asarray(gt_p), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(gx_c), np.asarray(gx_p), rtol=1e-4, atol=1e-6
+    )
+
+
 def test_hash_indices_in_range():
     cfg = HashGridConfig(
         n_levels=2, n_features=2, log2_hashmap_size=6,

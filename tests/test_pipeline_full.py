@@ -117,7 +117,8 @@ def stage4(ctx):
         grid_resolution=32, render_step_size=2e-2, num_lobes=0,
         up_sample=1, max_hits=8, freeze_rf_steps=20,
         mesh_update_every=40, ckpt_every=10**9, log_every=10**9,
-        scaling=0.02,
+        scaling=0.02, max_num_rays=1 << 13,
+        field_log2_hashmap_size=14, field_max_res=64,
     )
     t4 = Stage4Trainer(
         cfg4, ngp_params=ctx["t1"].params, occ_state=ctx["t1"].occ_state,
@@ -147,7 +148,7 @@ def stage5(ctx, stage4):
         scene="fixture", data_root=ctx["data_root"], root=ctx["out_dir"],
         max_steps=80, init_batch_size=512, batch_size_log2=12,
         grid_resolution=32, render_step_size=2e-2, num_lobes=2,
-        up_sample=1, max_hits=8,
+        up_sample=1, max_hits=8, max_num_rays=1 << 13,
     )
     t5 = Stage5Trainer(
         cfg5, teacher_params=t4.params["rf"], occ_state=t4.occ_state,
