@@ -45,7 +45,12 @@ def main():
     import optax
 
     aabb = jnp.asarray([-1.5] * 3 + [1.5] * 3)
-    ngp_cfg = NGPConfig(head="sg", num_g_lobes=2, log2_hashmap_size=19)
+    # tet interpolation is the TPU-native default: exact piecewise-
+    # linear encoding with half the table lookups (gather/scatter cost
+    # on TPU scales with index count; see PERF_NOTES.md)
+    ngp_cfg = NGPConfig(
+        head="sg", num_g_lobes=2, log2_hashmap_size=19, interp="tet"
+    )
     step_size = 5e-3
     rcfg = RenderConfig(
         render_step_size=step_size,

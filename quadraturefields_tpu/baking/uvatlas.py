@@ -76,6 +76,10 @@ def _shelf_pack(sizes, atlas_size: int):
     return offsets
 
 
+def _cross2(a, b):
+    return a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
+
+
 def build_uv_atlas(
     mesh: Mesh,
     face_segments: np.ndarray,
@@ -85,9 +89,25 @@ def build_uv_atlas(
 ):
     """-> (atlas_mesh, uv [V,2] texel coords). Vertices are duplicated
     per chart (seam-free charts, like xatlas vmapping)."""
+    face_segments = np.asarray(face_segments).copy()
+    # Feasibility guard: each chart costs at least (2p+2)^2 texels; if
+    # the segmentation produced more charts than fit, fold the smallest
+    # segments into one catch-all chart (degrades those charts' texel
+    # sharing but keeps the bake functional).
+    pad = padding
+    max_charts = int(0.5 * texture_size**2 / (2 * pad + 2) ** 2)
+    labels, counts = np.unique(face_segments, return_counts=True)
+    if len(labels) > max_charts:
+        order = np.argsort(-counts)
+        keep = set(labels[order[: max_charts - 1]].tolist())
+        misc = labels[order[max_charts - 1]]
+        for lab in labels:
+            if lab not in keep:
+                face_segments[face_segments == lab] = misc
+
     charts = _segment_charts(mesh, face_segments)
     total_area = sum(
-        float(np.abs(np.cross(
+        float(np.abs(_cross2(
             c["uv"][c["faces"][:, 1]] - c["uv"][c["faces"][:, 0]],
             c["uv"][c["faces"][:, 2]] - c["uv"][c["faces"][:, 0]],
         )).sum()) / 2.0
@@ -96,21 +116,25 @@ def build_uv_atlas(
     total_area = max(total_area, 1e-12)
     # texels per world unit: fill ~init_ratio^2 of the atlas, then the
     # retry-shrink loop backs off on overflow
+    # (generate_uv_xatlas_old.py:69-94)
     scale = np.sqrt(init_ratio * texture_size**2 / total_area)
-    for _ in range(40):
+    for attempt in range(60):
         sizes = np.array(
-            [
-                c["uv"].max(0) * scale + 2 * padding + 1.0
-                for c in charts
-            ],
+            [c["uv"].max(0) * scale + 2 * pad + 1.0 for c in charts],
             np.float32,
         )
         offsets = _shelf_pack(sizes, texture_size)
         if offsets is not None:
             break
         scale *= 0.85
+        if attempt == 40:
+            pad = 0.0  # last resort: drop the inter-chart padding
     else:
-        raise RuntimeError("atlas packing failed")
+        raise RuntimeError(
+            f"atlas packing failed: {len(charts)} charts into "
+            f"{texture_size}^2"
+        )
+    padding = pad
 
     all_verts, all_faces, all_uv = [], [], []
     base = 0
