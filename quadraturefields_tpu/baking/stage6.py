@@ -138,6 +138,8 @@ def bake_textures(
     tri_image: np.ndarray,
     aabb,
     *,
+    teacher_params=None,
+    teacher_cfg: NGPConfig | None = None,
     texture_size: int,
     compression_type: str = "sigmoid",
     lambda_thres: float = 7.5,
@@ -145,7 +147,12 @@ def bake_textures(
     out_dir: str | None = None,
 ):
     """Query SG features at V texels and quantize into texture maps
-    (bake_texture_images_shelly.py:284-294)."""
+    (bake_texture_images_shelly.py:284-294). When teacher params are
+    given, the baked sigma channel comes from the finetuned radiance
+    field instead of the SG model (bake_texture_images_shelly.py:288-290:
+    features[..., -1] = radiance_field.query_density)."""
+    from ..models.ngp import ngp_query_density
+
     comp = FeatureCompression(
         num_lobes=sg_cfg.num_g_lobes,
         initialize=True,
@@ -159,7 +166,13 @@ def bake_textures(
 
     @jax.jit
     def feats_fn(x):
-        return ngp_features(sg_params, x, aabb, sg_cfg)
+        feats = ngp_features(sg_params, x, aabb, sg_cfg)
+        if teacher_params is not None:
+            sigma = ngp_query_density(
+                teacher_params, x, aabb, teacher_cfg
+            )
+            feats = feats.at[:, -1].set(sigma[:, 0])
+        return feats
 
     for i in range(0, pts.shape[0], chunk):
         feats = np.asarray(feats_fn(jnp.asarray(pts[i:i + chunk])))

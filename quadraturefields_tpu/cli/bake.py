@@ -118,6 +118,8 @@ def main(argv=None):
         tri_image = np.load(os.path.join(out_dir, "tri_image.npy"))
         bake_textures(
             sg, sg_cfg, v_image, tri_image, aabb,
+            teacher_params=teacher,
+            teacher_cfg=teacher_cfg,
             texture_size=args.texture_size,
             compression_type=args.compression_type,
             lambda_thres=args.lambda_thres,

@@ -117,6 +117,67 @@ def field_with_grad(params, x, cfg: FieldConfig):
     return field, grad
 
 
+def field_double_grad(params, x, cfg: FieldConfig):
+    """Full 3x3 second derivative of the (scalar) field at x, matching
+    Field.field_double_grad (field.py:240-251): rows are d(grad_i)/dx."""
+    def grad_fn(p):
+        _, g = field_with_grad(params, p[None], cfg)
+        return g[0]
+
+    return jax.vmap(jax.jacrev(grad_fn))(x)
+
+
+def compute_abs_loss(field_grad):
+    """L1 norm of the field gradient, averaged
+    (Field.compute_abs_loss, field.py:261-264)."""
+    return jnp.mean(jnp.sum(jnp.abs(field_grad), axis=1))
+
+
+def compute_double_field_loss(field_double_der):
+    """Mean |second derivative| (Field.compute_double_field_loss,
+    field.py:266-270)."""
+    return jnp.mean(jnp.abs(field_double_der))
+
+
+@dataclasses.dataclass(frozen=True)
+class DeltaFieldConfig:
+    """DeltaField (reference field.py:415-491): a bare hash-grid whose
+    per-point feature sum is the field (no decoder); min_res 128."""
+    scale: float = 1.5
+    log2_hashmap_size: int = 19
+    n_levels: int = 16
+    max_resolution: int = 512
+    min_resolution: int = 128
+    table_dtype: str = "float32"
+
+    @property
+    def hashgrid(self) -> HashGridConfig:
+        b = math.exp(
+            math.log(self.max_resolution * self.scale / self.min_resolution)
+            / (self.n_levels - 1)
+        )
+        return HashGridConfig(
+            n_levels=self.n_levels,
+            n_features=2,
+            log2_hashmap_size=self.log2_hashmap_size,
+            base_resolution=self.min_resolution,
+            per_level_scale=b,
+            dtype=self.table_dtype,
+        )
+
+
+def delta_field_init(key, cfg: DeltaFieldConfig):
+    return {"table": hashgrid_init(key, cfg.hashgrid)}
+
+
+def delta_field_apply(params, x, cfg: DeltaFieldConfig):
+    """x in [-scale, scale] -> sum of encoded features [N]
+    (DeltaField.density, field.py:458-473)."""
+    x_norm = (x + cfg.scale) / (2.0 * cfg.scale)
+    h = hashgrid_encode(params["table"], x_norm, cfg.hashgrid)
+    return jnp.sum(h, axis=1)
+
+
 def field_loss(weights, weights_rev, field_grad, view_dirs, mask=None):
     """| max(w, w_rev) - |grad_f . d| | averaged (over valid samples).
 

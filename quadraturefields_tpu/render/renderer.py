@@ -249,7 +249,9 @@ def make_test_renderer(
     def window(occ_state, origins, viewdirs, near_planes, rgb, opacity,
                depth, alive):
         n_rays = origins.shape[0]
-        far = jnp.where(alive, near_planes + window_steps * dt, 0.0)
+        # cursors advance monotonically even for dead rays (a reset
+        # would resurrect them and re-composite the span)
+        far = near_planes + window_steps * dt
         # per-ray window [cursor, cursor + K*dt): the sampler's
         # near/far accept per-ray arrays
         samples = occ_grid_sampling(
@@ -299,7 +301,14 @@ def make_test_renderer(
         import numpy as np
 
         n_rays = origins.shape[0]
-        near = jnp.full((n_rays,), rcfg.near_plane)
+        # anchor each ray's cursor at its AABB entry so window samples
+        # land on the same t-grid as the one-shot renderer
+        from ..ops.grid import ray_aabb_intersect
+
+        t_entry, _, _ = ray_aabb_intersect(
+            origins, viewdirs, occ_state.aabb
+        )
+        near = jnp.maximum(t_entry, rcfg.near_plane)
         rgb = jnp.zeros((n_rays, 3))
         opacity = jnp.zeros((n_rays, 1))
         depth = jnp.zeros((n_rays, 1))

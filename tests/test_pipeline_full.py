@@ -196,6 +196,7 @@ def test_stage6_bake_and_eval(ctx, stage4, stage5):
 
     comp = bake_textures(
         t5.sg_params, t5.sg_cfg, v_image, tri_image, t5.aabb,
+        teacher_params=t4.params["rf"], teacher_cfg=t4.ngp_cfg,
         texture_size=texture_size, out_dir=out_dir,
     )
     assert os.path.exists(
