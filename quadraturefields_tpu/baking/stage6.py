@@ -115,8 +115,11 @@ def segment_and_atlas(
         # per-vertex segIndices like the ScanNet segmentator output
         vert_seg = np.zeros((mesh.vertices.shape[0],), np.int64)
         vert_seg[mesh.faces.reshape(-1)] = np.repeat(face_seg, 3)
+        # artifact name matches the ScanNet segmentator's
+        # <mesh>.<kThresh>.segs.json convention (run_*_baking.sh:33)
         with open(
-            os.path.join(out_dir, "mesh_updated.segs.json"), "w"
+            os.path.join(out_dir, f"mesh_updated.{kthr:.6f}.segs.json"),
+            "w",
         ) as f:
             json.dump({"segIndices": vert_seg.tolist()}, f)
         save_obj_with_uv(

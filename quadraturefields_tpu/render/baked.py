@@ -49,6 +49,37 @@ def hit_uv_texels(points, tri_verts, tri_uv, texture_size: int):
     )
 
 
+def render_baked_raw_rows(
+    hits: HitRows,
+    origins,
+    viewdirs,
+    face_vertices,
+    face_uv,
+    texture,        # [T, T, D+1] raw float features (last = sigma)
+    sg_cfg: NGPConfig,
+    *,
+    render_step_size: float,
+    bg_color: str = "white",
+    render_bkgd=None,
+):
+    """Raw (uncompressed) float-texture variant — the reference's
+    render_image_bake_with_occgrid (utils.py:900-996), which fetches a
+    float feature texture directly instead of uint8 PNG maps."""
+    R, H = hits.ts.shape
+    xyzs = origins[:, None, :] + viewdirs[:, None, :] * hits.ts[..., None]
+    dirs = jnp.broadcast_to(viewdirs[:, None, :], (R, H, 3))
+    texels = hit_uv_texels(xyzs, face_vertices, face_uv, texture.shape[0])
+    tex = texture[texels[..., 0].reshape(-1), texels[..., 1].reshape(-1)]
+    sigmas = tex[:, -1].reshape(R, H)
+    rgbs = ngp_features_to_rgb(
+        tex[:, :-1], dirs.reshape(-1, 3), sg_cfg
+    ).reshape(R, H, 3)
+    deltas = jnp.full_like(sigmas, render_step_size)
+    return row_composite(
+        rgbs, sigmas, hits.ts, deltas, hits.valid, bg_color, render_bkgd
+    )
+
+
 def render_baked_rows(
     hits: HitRows,
     origins,

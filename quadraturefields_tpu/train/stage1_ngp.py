@@ -283,6 +283,12 @@ class Stage1Trainer:
                 f, indent=2, default=str,
             )
 
+        from ..utils.logging import ExperimentLogger
+
+        logger = ExperimentLogger(
+            os.path.join(cfg.root, "logs", cfg.scene, cfg.exp_name),
+            results_dir=out_dir,
+        )
         tic = time.time()
         rays_done = 0
         while self.step <= cfg.max_steps:
@@ -293,6 +299,12 @@ class Stage1Trainer:
             if step % cfg.log_every == 0:
                 train_psnr = -10.0 * float(jnp.log(aux["mse"])) / np.log(10)
                 elapsed = time.time() - tic
+                logger.add_scalar("train/loss", float(loss), step)
+                logger.add_scalar("train/psnr", train_psnr, step)
+                logger.add_scalar(
+                    "train/n_rendering_samples",
+                    int(aux["num_valid"]), step,
+                )
                 log_fn(
                     f"elapsed_time={elapsed:.2f}s | step={step} | "
                     f"loss={float(loss):.5f} | psnr={train_psnr:.2f} | "
@@ -303,6 +315,9 @@ class Stage1Trainer:
             if step > 0 and step % cfg.ckpt_every == 0:
                 self.save(os.path.join(ckpt_dir, "ngp"))
         metrics = self.evaluate(out_dir)
+        logger.add_scalar("test/psnr", metrics["psnr"], self.step)
+        logger.add_scalar("test/ssim", metrics["ssim"], self.step)
+        logger.close()
         with open(os.path.join(out_dir, "log.json"), "a") as f:
             json.dump({"step": self.step - 1, **metrics}, f)
         return metrics

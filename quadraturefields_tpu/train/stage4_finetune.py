@@ -438,7 +438,23 @@ class Stage4Trainer:
                     f"hits={nh} | num_rays={self.train_dataset.num_rays}"
                 )
             if step > 0 and step % cfg.mesh_update_every == 0:
+                # before/after eval sandwich around the vertex update
+                # (reference train_finetune.py:696-743)
+                results = {}
+                if self.test_dataset is not None:
+                    results["before"] = self.evaluate(
+                        self.test_dataset, n_views=cfg.eval_views
+                    )
                 self.apply_mesh_update(out_dir)
+                if self.test_dataset is not None:
+                    results["after"] = self.evaluate(
+                        self.test_dataset, n_views=cfg.eval_views
+                    )
+                    log_fn(f"step={step} mesh update: {results}")
+                    with open(
+                        os.path.join(out_dir, "log.txt"), "a"
+                    ) as f:
+                        f.write(f"step: {step}, {results}\n")
             if step > 0 and step % cfg.ckpt_every == 0:
                 self.save(os.path.join(ckpt_dir, "finetune"))
         self.apply_mesh_update(out_dir)
