@@ -236,15 +236,22 @@ def _encode_fwd_impl(table, x, cfg: HashGridConfig):
     n = x.shape[0]
     C = cfg.corners
     L = cfg.n_levels
+    F = cfg.n_features
     idx, w = _corner_indices_weights(x, cfg)     # [N, L*C]
-    feats = table.at[idx].get(
-        mode="promise_in_bounds"
-    ).astype(jnp.float32)                        # [N, L*C, F]
-    out = jnp.sum(
-        feats.reshape(n, L, C, cfg.n_features)
-        * w.reshape(n, L, C, 1),
-        axis=2,
-    ).reshape(n, L * cfg.n_features)
+    # per-level gathers: one [N, L*C]-wide gather makes XLA emit a
+    # per-column op soup that takes ~190 s to compile; 16 narrow
+    # gathers compile in seconds at the same runtime
+    feats_levels = []
+    for l in range(L):
+        feats_levels.append(
+            table[idx[:, l * C : (l + 1) * C]].astype(jnp.float32)
+        )
+    feats = jnp.concatenate(feats_levels, axis=1)  # [N, L*C, F]
+    # weighted corner sum without a small-minor-dim 4D intermediate
+    # (TPU tiles the last two dims to (8,128); [N,L,C,F] would pad 64x)
+    wf = jnp.repeat(w, F, axis=1)                # [N, L*C*F]
+    out = (feats.reshape(n, L * C * F) * wf).reshape(n, L, C, F)
+    out = jnp.sum(out, axis=2).reshape(n, L * F)
     return out, (idx, w, feats, x)
 
 
@@ -258,24 +265,36 @@ def _encode_bwd(cfg: HashGridConfig, saved, g):
     table_dtype = jnp.dtype(cfg.dtype)
     n = x.shape[0]
     L, C, F = cfg.n_levels, cfg.corners, cfg.n_features
-    g = g.reshape(n, L, 1, F)
-    # dL/dtable: scatter w*g at the corner entries — flattened to
-    # scalar indices (fast path on TPU)
-    contrib = (w.reshape(n, L, C, 1) * g).reshape(n * L * C, F)
-    flat_idx = (idx.reshape(-1, 1) * F
-                + jnp.arange(F, dtype=idx.dtype)[None, :]).reshape(-1)
+    # dL/dtable: scatter w*g at the corner entries as flat *scalar*
+    # indices (13 ns/idx vs 81 ns/idx for row scatter on v5e).
+    # Layout note: contributions are built as [F, L, C, N] so the
+    # trailing two dims are (C>=4, N) — the natural [N, L, C, F] order
+    # tile-pads its (C, F) minor dims (8,128)-wise, a 64x HBM blowup
+    # that OOM'd compilation.
+    w_t = w.T.reshape(L, C, n)                       # [L, C, N]
+    g_t = g.T.reshape(L, F, n)                       # [L, F, N]
+    contrib_t = (
+        w_t[None, :, :, :]
+        * jnp.swapaxes(g_t, 0, 1)[:, :, None, :]     # [F, L, 1, N]
+    )                                                # [F, L, C, N]
+    idx_t = idx.T.reshape(1, L, C, n)
+    f_off = jnp.arange(F, dtype=idx.dtype).reshape(F, 1, 1, 1)
+    flat_idx_t = idx_t * F + f_off                   # [F, L, C, N]
     d_table = (
         jnp.zeros((cfg.total_entries * F,), jnp.float32)
-        .at[flat_idx]
-        .add(contrib.reshape(-1), mode="promise_in_bounds")
+        .at[flat_idx_t.reshape(-1)]
+        .add(contrib_t.reshape(-1), mode="promise_in_bounds")
         .reshape(cfg.total_entries, F)
         .astype(table_dtype)
     )
-    # dL/dx via the interpolation-weight jacobian, computed with jvp
-    # transpose: dL/dw[c] = sum_f feats[c,f]*g[f]; dw/dx from autodiff
+    # dL/dx via the interpolation-weight jacobian: dL/dw[c] =
+    # sum_f feats[c,f]*g[f], again in small-pad layout
+    # tile g per corner: row pattern [g_l0, g_l1] * C matches the
+    # (l, c, f) flat order of feats
+    gf = jnp.tile(g.reshape(n * L, F), (1, C)).reshape(n, L * C * F)
     dL_dw = jnp.sum(
-        feats.reshape(n, L, C, F) * g, axis=-1
-    ).reshape(n, L * C)
+        (feats.reshape(n, L * C * F) * gf).reshape(n, L * C, F), axis=-1
+    )
 
     def w_of_x(xx):
         _, ww = _corner_indices_weights(jnp.clip(xx, 0.0, 1.0), cfg)

@@ -31,7 +31,7 @@ def timeit(name, fn, *args, n=20):
     print(f"{name}: {dt * 1e3:.2f} ms", flush=True)
 
 aabb = jnp.asarray([-1.5] * 3 + [1.5] * 3)
-cfg = NGPConfig(head="sg", num_g_lobes=2, log2_hashmap_size=19)
+cfg = NGPConfig(head="sg", num_g_lobes=2, log2_hashmap_size=19, interp="tet")
 key = jax.random.PRNGKey(0)
 params = ngp_init(key, cfg)
 occ_state = occ_grid_init(aabb, OccGridConfig(resolution=128))
