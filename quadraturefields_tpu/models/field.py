@@ -140,6 +140,72 @@ def compute_double_field_loss(field_double_der):
 
 
 @dataclasses.dataclass(frozen=True)
+class FieldMLPConfig:
+    """SIREN field variant (reference FieldMLP, field.py:274-413):
+    positional encoding + sine-activated MLP, no hash grid."""
+    scale: float = 1.5
+    output_dim: int = 1
+    hidden_size: int = 256
+    num_layers: int = 6
+    w0_initial: float = 30.0
+    pe_degrees: int = 3
+
+
+def field_mlp_init(key, cfg: FieldMLPConfig):
+    import numpy as np
+
+    from .mlp_nerf import sinusoidal_dim
+
+    dim = sinusoidal_dim(3, 0, cfg.pe_degrees)
+    keys = jax.random.split(key, cfg.num_layers + 1)
+    layers = []
+    fan_in = dim
+    for i in range(cfg.num_layers):
+        # SIREN init: first layer U(-1/n, 1/n), later
+        # U(-sqrt(6/n)/w0, +)/w0-scaled
+        if i == 0:
+            bound = 1.0 / fan_in
+        else:
+            bound = math.sqrt(6.0 / fan_in) / cfg.w0_initial
+        w = jax.random.uniform(
+            keys[i], (fan_in, cfg.hidden_size), minval=-bound,
+            maxval=bound,
+        )
+        b = jnp.zeros((cfg.hidden_size,))
+        layers.append({"w": w, "b": b})
+        fan_in = cfg.hidden_size
+    bound = math.sqrt(6.0 / fan_in) / cfg.w0_initial
+    out = {
+        "w": jax.random.uniform(
+            keys[-1], (fan_in, cfg.output_dim), minval=-bound,
+            maxval=bound,
+        ),
+        "b": jnp.zeros((cfg.output_dim,)),
+    }
+    return {"layers": layers, "out": out}
+
+
+def field_mlp_apply(params, x, cfg: FieldMLPConfig):
+    """x [N,3] world -> field [N, output_dim] via sin activations."""
+    from .mlp_nerf import sinusoidal_encode
+
+    h = sinusoidal_encode(x, 0, cfg.pe_degrees)
+    w0 = cfg.w0_initial
+    for i, layer in enumerate(params["layers"]):
+        h = jnp.sin(
+            (w0 if i == 0 else 1.0)
+            * (jnp.dot(h, layer["w"]) + layer["b"])
+        )
+    return jnp.dot(h, params["out"]["w"]) + params["out"]["b"]
+
+
+def field_mlp_with_grad(params, x, cfg: FieldMLPConfig):
+    field, vjp_fn = jax.vjp(lambda p: field_mlp_apply(params, p, cfg), x)
+    (grad,) = vjp_fn(jnp.ones_like(field))
+    return field, grad
+
+
+@dataclasses.dataclass(frozen=True)
 class DeltaFieldConfig:
     """DeltaField (reference field.py:415-491): a bare hash-grid whose
     per-point feature sum is the field (no decoder); min_res 128."""

@@ -237,6 +237,43 @@ def render_fit_sg_rows(
     return rgb, alpha, depth, weights
 
 
+def render_finetune_baking_rows(
+    sg_params,
+    hits: HitRows,
+    origins,
+    viewdirs,
+    face_vertices,      # [R, H, 3, 3] hit-triangle vertices
+    barycentric,        # [R, H, 3] of the hit points
+    aabb,
+    sg_cfg,
+    *,
+    features_fn,        # ngp_features(params, x, aabb, cfg)
+    features_to_rgb_fn,  # ngp_features_to_rgb(features, dirs, cfg)
+    render_step_size: float,
+    bg_color: str = "white",
+    render_bkgd=None,
+):
+    """Vertex-feature baking check: query bakeable features at the hit
+    triangle's VERTICES, barycentric-average them, and render — the
+    validation pass that baked per-vertex features reproduce the field
+    (reference render_image_finetune_baking_with_occgrid,
+    utils.py:732-861)."""
+    R, H = hits.ts.shape
+    dirs = jnp.broadcast_to(viewdirs[:, None, :], (R, H, 3))
+    verts_flat = face_vertices.reshape(-1, 3)              # [R*H*3, 3]
+    feats = features_fn(sg_params, verts_flat, aabb, sg_cfg)
+    feats = feats.reshape(R, H, 3, -1)
+    feats = jnp.sum(feats * barycentric[..., None], axis=2)  # [R, H, D+1]
+    sigmas = feats[..., -1]
+    rgbs = features_to_rgb_fn(
+        feats[..., :-1].reshape(R * H, -1), dirs.reshape(-1, 3), sg_cfg
+    ).reshape(R, H, 3)
+    deltas = jnp.full_like(sigmas, render_step_size)
+    return row_composite(
+        rgbs, sigmas, hits.ts, deltas, hits.valid, bg_color, render_bkgd
+    )
+
+
 def mesh_accumulate_deformation(cache_d, cache_w, dh, weights, tri_ids,
                                 valid, n_faces: int):
     """MeshFinetune.update_d: scatter-add per-face dh*w and w

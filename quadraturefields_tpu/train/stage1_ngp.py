@@ -343,10 +343,41 @@ class Stage1Trainer:
                     os.path.join(out_dir, f"rgb_test_{i:03d}.png"),
                     (np.clip(rgb_img, 0, 1) * 255).astype(np.uint8),
                 )
+                imageio.imwrite(
+                    os.path.join(out_dir, f"rgb_error_{i:03d}.png"),
+                    (np.clip(np.abs(rgb_img - pixels), 0, 1) * 255
+                     ).astype(np.uint8),
+                )
+        if cfg.save_images and out_dir is not None:
+            self._write_videos(out_dir)
         return {
             "psnr": float(np.mean(psnrs)),
             "ssim": float(np.mean(ssims)),
         }
+
+    @staticmethod
+    def _write_videos(out_dir):
+        """Assemble eval PNGs into mp4s (reference
+        train_ngp_nerf_sg_occ.py:444-456)."""
+        import glob
+
+        import imageio.v2 as imageio
+
+        for pattern, name in (
+            ("rgb_test_*.png", "rgb.mp4"),
+            ("rgb_error_*.png", "rgb_error.mp4"),
+        ):
+            frames = sorted(glob.glob(os.path.join(out_dir, pattern)))
+            if len(frames) < 2:
+                continue
+            try:
+                imageio.mimsave(
+                    os.path.join(out_dir, name),
+                    [imageio.imread(f) for f in frames],
+                    fps=20,
+                )
+            except Exception:
+                pass  # no video codec in minimal environments
 
     def render_view(self, data):
         """Full-image render in fixed chunks."""

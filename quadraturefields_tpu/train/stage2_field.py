@@ -78,6 +78,9 @@ class Stage2Config:
     seed: int = 42
     max_num_rays: int = 1 << 20
     export_grids: bool = True
+    # field slice plots every N steps (reference train_field.py:374-383;
+    # 0 disables)
+    plot_every: int = 0
 
     @property
     def target_sample_batch_size(self) -> int:
@@ -288,6 +291,13 @@ class Stage2Trainer:
         while self.step <= cfg.max_steps:
             step = self.step
             loss, nv, mse = self.train_one_step()
+            if cfg.plot_every and step % cfg.plot_every == 0:
+                from ..utils.field_plots import plot_field
+
+                plot_field(
+                    self.field_with_grad_fn(), out_dir,
+                    scale=cfg.field_scale, grid_size=256, step=step,
+                )
             if step % cfg.log_every == 0:
                 psnr = -10.0 * float(jnp.log(mse)) / np.log(10)
                 log_fn(

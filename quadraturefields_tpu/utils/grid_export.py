@@ -84,6 +84,49 @@ def extract_field_grid(
     return grids, grads
 
 
+def extract_field_grid_h5(
+    field_with_grad_fn,
+    path: str,
+    scale: float,
+    grid_size: int = 1024,
+    chunk: int = 1 << 20,
+):
+    """Chunked h5 export of the field/grad grids (reference
+    field_utils.py:160-225, the memory-bounded variant used for 360
+    scenes): z-slices streamed into h5 datasets, no supersampling."""
+    import h5py
+
+    n = grid_size
+
+    @jax.jit
+    def eval_slice(z):
+        lin = jnp.linspace(-1.0, 1.0, n)
+        gx, gy = jnp.meshgrid(lin, lin, indexing="ij")
+        coords = jnp.stack(
+            [gx.reshape(-1), gy.reshape(-1), jnp.full((n * n,), z)],
+            axis=1,
+        ) * scale
+        fs, gs = [], []
+        for b in range(0, coords.shape[0], chunk):
+            f, g = field_with_grad_fn(coords[b : b + chunk])
+            fs.append(f)
+            gs.append(g)
+        return (
+            jnp.concatenate(fs).reshape(n, n),
+            jnp.clip(jnp.concatenate(gs).reshape(n, n), 0, 65504.0),
+        )
+
+    zs = np.linspace(-1.0, 1.0, n)
+    with h5py.File(path, "w") as h5:
+        dset_f = h5.create_dataset("grids", (n, n, n), dtype="f4")
+        dset_g = h5.create_dataset("grads", (n, n, n), dtype="f2")
+        for j in range(n):
+            f, g = eval_slice(zs[j])
+            dset_f[:, :, j] = np.asarray(f)
+            dset_g[:, :, j] = np.asarray(g).astype(np.float16)
+    return path
+
+
 def extract_density_grid(
     density_fn,
     prefix: str,
