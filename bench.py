@@ -56,6 +56,7 @@ def main():
         render_step_size=step_size,
         max_steps=max_march_steps(np.asarray(aabb), step_size),
         max_samples_total=1 << 18,
+        coarse_factor=4,
     )
     occ_cfg = OccGridConfig(resolution=128)
 

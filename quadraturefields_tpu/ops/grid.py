@@ -186,6 +186,8 @@ def occ_grid_sampling(
     far_plane=1e10,   # scalar or per-ray [n_rays]
     stratified: bool = False,
     key=None,
+    coarse_factor: int = 0,   # >1 enables the two-level march
+    max_coarse_hits: int = 0,  # static coarse-hit budget (two-level)
 ) -> PackedSamples:
     """Fixed-step masked ray march + global compaction.
 
@@ -203,6 +205,13 @@ def occ_grid_sampling(
     t_max = jnp.minimum(t_max, far_plane)
     if stratified:
         t_min = t_min + jax.random.uniform(key, (n_rays,)) * render_step_size
+
+    if coarse_factor > 1:
+        return _two_level_march(
+            state, origins, viewdirs, t_min, t_max, n_rays,
+            render_step_size, max_steps, max_samples_total,
+            coarse_factor, max_coarse_hits or max_samples_total // 2,
+        )
 
     steps = jnp.arange(max_steps, dtype=jnp.float32)
     # [n_rays, max_steps]
@@ -234,5 +243,93 @@ def occ_grid_sampling(
         t_starts=ts,
         t_ends=te,
         valid=~is_pad,
+        num_valid=num_valid,
+    )
+
+
+def _dilated_coarse_binaries(binaries, cf: int):
+    """Max-pool the fine binaries by cf per axis, then dilate by one
+    coarse cell (3^3 max) so a coarse-segment midpoint test can never
+    miss a fine-occupied cell straddling a coarse boundary."""
+    res = binaries.shape[0]
+    rc = res // cf
+    coarse = binaries.reshape(rc, cf, rc, cf, rc, cf).max(axis=(1, 3, 5))
+    f = coarse.astype(jnp.float32)[None, :, :, :, None]  # NHWDC-ish
+    dil = jax.lax.reduce_window(
+        f, -jnp.inf, jax.lax.max, (1, 3, 3, 3, 1), (1, 1, 1, 1, 1),
+        "SAME",
+    )
+    return dil[0, :, :, :, 0] > 0.0
+
+
+def _two_level_march(
+    state, origins, viewdirs, t_min, t_max, n_rays,
+    dt: float, max_steps: int, max_samples_total: int,
+    cf: int, max_coarse_hits: int,
+):
+    """Coarse pass at cf*dt granularity over a dilated cf-downsampled
+    grid, compaction, then fine refinement of surviving segments —
+    identical final sample set to the single-level march (the dilated
+    coarse mask is a strict superset), at ~cf x fewer occupancy
+    lookups. The TPU analog of nerfacc's DDA empty-space skipping."""
+    coarse_steps = -(-max_steps // cf)
+    steps_c = jnp.arange(coarse_steps, dtype=jnp.float32)
+    seg_mid = t_min[:, None] + (steps_c[None, :] + 0.5) * (cf * dt)
+    # clamp the probe to just inside the span: a partial last segment's
+    # midpoint can exit the AABB while its fine samples are still in
+    # (the 1-cell dilation covers the remaining <= cf*dt offset as long
+    # as dt <= fine cell size, the normal marching regime)
+    seg_mid = jnp.minimum(seg_mid, t_max[:, None] - 0.25 * dt)
+    in_span_c = (
+        t_min[:, None] + steps_c[None, :] * (cf * dt) < t_max[:, None]
+    )
+    pos_c = origins[:, None, :] + viewdirs[:, None, :] * seg_mid[..., None]
+    coarse_bin = _dilated_coarse_binaries(state.binaries, cf)
+    occ_c = occupancy_lookup(coarse_bin, state.aabb, pos_c)
+    mask_c = in_span_c & occ_c
+
+    flat_c = mask_c.reshape(-1)
+    (sel_c,) = jnp.nonzero(
+        flat_c, size=max_coarse_hits, fill_value=flat_c.shape[0]
+    )
+    pad_c = sel_c >= flat_c.shape[0]
+    sel_c_safe = jnp.where(pad_c, 0, sel_c)
+    ray_c = (sel_c_safe // coarse_steps).astype(jnp.int32)
+    step_c = (sel_c_safe % coarse_steps).astype(jnp.int32)
+
+    # fine refinement: cf sub-steps per surviving coarse segment
+    ks = jnp.arange(cf, dtype=jnp.float32)
+    fine_step = step_c[:, None].astype(jnp.float32) * cf + ks[None, :]
+    ts_f = t_min[ray_c][:, None] + fine_step * dt        # [C, cf]
+    tm_f = ts_f + 0.5 * dt
+    pos_f = (
+        origins[ray_c][:, None, :]
+        + viewdirs[ray_c][:, None, :] * tm_f[..., None]
+    )
+    occ_f = occupancy_lookup(state.binaries, state.aabb, pos_f)
+    in_span_f = tm_f < t_max[ray_c][:, None]
+    mask_f = occ_f & in_span_f & (~pad_c)[:, None]
+
+    flat_f = mask_f.reshape(-1)
+    num_valid = jnp.sum(flat_f, dtype=jnp.int32)
+    (sel_f,) = jnp.nonzero(
+        flat_f, size=max_samples_total, fill_value=flat_f.shape[0]
+    )
+    pad_f = sel_f >= flat_f.shape[0]
+    sel_f_safe = jnp.where(pad_f, 0, sel_f)
+    ci = sel_f_safe // cf
+    ki = (sel_f_safe % cf).astype(jnp.float32)
+    ray_idx = ray_c[ci]
+    ts = (
+        t_min[ray_idx]
+        + (step_c[ci].astype(jnp.float32) * cf + ki) * dt
+    )
+    te = ts + dt
+    ray_idx = jnp.where(pad_f, n_rays, ray_idx)
+    return PackedSamples(
+        ray_indices=ray_idx,
+        t_starts=jnp.where(pad_f, 0.0, ts),
+        t_ends=jnp.where(pad_f, 0.0, te),
+        valid=~pad_f,
         num_valid=num_valid,
     )

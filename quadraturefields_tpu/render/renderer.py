@@ -42,6 +42,11 @@ class RenderConfig:
     cone_angle: float = 0.0  # 0 for synthetic; >0 unsupported yet
     max_steps: int = 1024        # static per-ray march length
     max_samples_total: int = 1 << 18  # static packed sample budget
+    # two-level march: >1 skips empty space at coarse_factor*dt
+    # granularity over a dilated downsampled grid (identical sample
+    # set, ~coarse_factor x fewer occupancy lookups)
+    coarse_factor: int = 0
+    max_coarse_hits: int = 0  # 0 -> max_samples_total // 2
 
 
 class RenderResult(NamedTuple):
@@ -128,6 +133,8 @@ def render_rays_occgrid(
         far_plane=rcfg.far_plane,
         stratified=stratified,
         key=key,
+        coarse_factor=rcfg.coarse_factor,
+        max_coarse_hits=rcfg.max_coarse_hits,
     )
     pos, dirs, _ = _sample_positions(samples, origins, viewdirs, n_rays)
     rgbs, sigmas = ngp_forward(ngp_params, pos, dirs, aabb, ngp_cfg)
@@ -191,6 +198,8 @@ def render_rays_field(
         far_plane=rcfg.far_plane,
         stratified=stratified,
         key=key,
+        coarse_factor=rcfg.coarse_factor,
+        max_coarse_hits=rcfg.max_coarse_hits,
     )
     pos, dirs, _ = _sample_positions(samples, origins, viewdirs, n_rays)
     rgbs, sigmas = ngp_forward(ngp_params, pos, dirs, aabb, ngp_cfg)

@@ -151,6 +151,41 @@ def test_sampling_truncation_counts():
     assert np.asarray(ps.valid).sum() == 16  # truncated to budget
 
 
+def test_two_level_march_matches_single_level():
+    """The coarse/fine march must produce the identical packed sample
+    set as the single-level march (the dilated coarse mask is a strict
+    superset)."""
+    cfg = OccGridConfig(resolution=32)
+    state = occ_grid_init(AABB, cfg)
+    rng = np.random.default_rng(0)
+    b = rng.random((32, 32, 32)) < 0.08
+    state = state._replace(binaries=jnp.asarray(b))
+
+    n_rays = 16
+    o = np.tile([[0.0, 0.0, -2.5]], (n_rays, 1)).astype(np.float32)
+    d = rng.normal(size=(n_rays, 3)) * 0.25 + [0, 0, 1]
+    d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+    kwargs = dict(
+        render_step_size=0.02,
+        max_steps=max_march_steps(np.asarray(AABB), 0.02),
+        max_samples_total=2048,
+    )
+    a = occ_grid_sampling(state, jnp.asarray(o), jnp.asarray(d), **kwargs)
+    c = occ_grid_sampling(
+        state, jnp.asarray(o), jnp.asarray(d), coarse_factor=4,
+        max_coarse_hits=2048, **kwargs,
+    )
+    assert int(a.num_valid) == int(c.num_valid)
+    va, vc = np.asarray(a.valid), np.asarray(c.valid)
+    assert va.sum() == vc.sum()
+    np.testing.assert_array_equal(
+        np.asarray(a.ray_indices)[va], np.asarray(c.ray_indices)[vc]
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.t_starts)[va], np.asarray(c.t_starts)[vc], atol=1e-6
+    )
+
+
 def test_sampling_stratified_jitter():
     cfg = OccGridConfig(resolution=4)
     state = occ_grid_init(AABB, cfg)
