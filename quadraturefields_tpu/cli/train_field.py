@@ -24,6 +24,9 @@ def build_parser():
     p.add_argument("--scale", type=float, default=1.5)
     p.add_argument("--max_steps", type=int, default=25000)
     p.add_argument("--grid_export_size", type=int, default=1024)
+    p.add_argument("--coarse_factor", type=int, default=4,
+                   help="two-level march factor (0 = single-level; "
+                        "the sample set is identical either way)")
     return p
 
 
@@ -45,6 +48,7 @@ def main(argv=None):
         field_log2_hashmap_size=args.field_log2_hashmap_size,
         scale=args.scale,
         grid_export_size=args.grid_export_size,
+        coarse_factor=args.coarse_factor,
     )
     Stage2Trainer(cfg).train()
 

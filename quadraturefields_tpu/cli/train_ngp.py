@@ -31,6 +31,9 @@ def build_parser():
     p.add_argument("--scale", type=float, default=1.5)
     p.add_argument("--max_steps", type=int, default=20000)
     p.add_argument("--save_images", action="store_true")
+    p.add_argument("--coarse_factor", type=int, default=4,
+                   help="two-level march factor (0 = single-level; "
+                        "the sample set is identical either way)")
     return p
 
 
@@ -53,6 +56,7 @@ def main(argv=None):
         log2_hashmap_size=args.log2_hashmap_size,
         scale=args.scale,
         save_images=args.save_images,
+        coarse_factor=args.coarse_factor,
     )
     trainer = Stage1Trainer(cfg)
     metrics = trainer.train()

@@ -65,6 +65,8 @@ class Stage1Config:
     ckpt_every: int = 1000
     log_every: int = 100
     seed: int = 42
+    # two-level march factor (0 = single-level; exact either way)
+    coarse_factor: int = 4
     max_num_rays: int = 1 << 20
     compute_dtype: str = "bfloat16"
     eval_views: Optional[int] = None  # limit test views (None = all)
@@ -98,6 +100,7 @@ class Stage1Config:
             alpha_thre=self.alpha_thre,
             max_steps=max_march_steps(self.aabb, self.render_step_size),
             max_samples_total=self.target_sample_batch_size,
+            coarse_factor=self.coarse_factor,
         )
 
 

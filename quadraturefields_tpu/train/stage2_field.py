@@ -76,6 +76,8 @@ class Stage2Config:
     ckpt_every: int = 1000
     log_every: int = 100
     seed: int = 42
+    # two-level march factor (0 = single-level; exact either way)
+    coarse_factor: int = 4
     max_num_rays: int = 1 << 20
     export_grids: bool = True
     # field slice plots every N steps (reference train_field.py:374-383;
@@ -122,6 +124,7 @@ class Stage2Config:
             early_stop_eps=1e-4,  # more supervised points (utils.py:432)
             max_steps=max_march_steps(self.aabb, self.render_step_size),
             max_samples_total=self.target_sample_batch_size,
+            coarse_factor=self.coarse_factor,
         )
 
 
