@@ -43,6 +43,7 @@ class FieldConfig:
     compute_dtype: str = "float32"
     table_dtype: str = "float32"
     interp: str = "cube"  # "tet" halves table lookups (see hashgrid.py)
+    grad_mode: str = "auto"  # table-gradient strategy (see hashgrid.py)
 
     @property
     def hashgrid(self) -> HashGridConfig:
@@ -59,6 +60,7 @@ class FieldConfig:
             per_level_scale=b,
             dtype=self.table_dtype,
             interp=self.interp,
+            grad_mode=self.grad_mode,
         )
 
     @property

@@ -49,6 +49,7 @@ class NGPConfig:
     compute_dtype: str = "bfloat16"
     table_dtype: str = "float32"
     interp: str = "cube"  # "tet" halves table lookups (see hashgrid.py)
+    grad_mode: str = "auto"  # table-gradient strategy (see hashgrid.py)
 
     @property
     def hashgrid(self) -> HashGridConfig:
@@ -60,6 +61,7 @@ class NGPConfig:
             log2_hashmap_size=self.log2_hashmap_size,
             dtype=self.table_dtype,
             interp=self.interp,
+            grad_mode=self.grad_mode,
         )
 
     @property

@@ -206,11 +206,18 @@ def occ_grid_sampling(
     if stratified:
         t_min = t_min + jax.random.uniform(key, (n_rays,)) * render_step_size
 
-    if coarse_factor > 1:
+    # Two-level march only when the coarse grid keeps useful
+    # resolution (>= 32^3): below that, dilation makes nearly every
+    # coarse cell occupied and the coarse-hit budget truncates rays
+    # instead of skipping space (measured to stall training on tiny
+    # test grids). The coarse-hit budget defaults to the full sample
+    # budget: a dilated coarse hit can contain ZERO valid fine samples,
+    # so budget//2 binds long before the fine budget does.
+    if coarse_factor > 1 and state.binaries.shape[0] // coarse_factor >= 32:
         return _two_level_march(
             state, origins, viewdirs, t_min, t_max, n_rays,
             render_step_size, max_steps, max_samples_total,
-            coarse_factor, max_coarse_hits or max_samples_total // 2,
+            coarse_factor, max_coarse_hits or max_samples_total,
         )
 
     steps = jnp.arange(max_steps, dtype=jnp.float32)
@@ -312,6 +319,15 @@ def _two_level_march(
 
     flat_f = mask_f.reshape(-1)
     num_valid = jnp.sum(flat_f, dtype=jnp.int32)
+    # when the coarse pass saturates its hit budget (early training,
+    # dense grid), the fine count only covers retained segments —
+    # extrapolate true demand by the truncation ratio so the dynamic
+    # ray-batch controller is not misled into growing the batch
+    num_coarse = jnp.sum(flat_c, dtype=jnp.int32)
+    ratio = jnp.maximum(
+        num_coarse.astype(jnp.float32) / float(max_coarse_hits), 1.0
+    )
+    num_valid = (num_valid.astype(jnp.float32) * ratio).astype(jnp.int32)
     (sel_f,) = jnp.nonzero(
         flat_f, size=max_samples_total, fill_value=flat_f.shape[0]
     )

@@ -44,6 +44,22 @@ class HashGridConfig:
     # "cube" = trilinear over 8 corners (tcnn parity); "tet" = exact
     # piecewise-linear over the Kuhn simplex (4 lookups, TPU-friendly)
     interp: str = "cube"
+    # Table-gradient strategy (XLA TPU scatter costs ~13 ns per scalar
+    # index, the dominant cost of NGP training — PERF_NOTES.md):
+    #   "exact"      — flat scalar scatter of every corner contribution.
+    #   "dedup"      — sort contributions by entry, reduce runs with a
+    #                  resetting segmented scan, scatter one row per
+    #                  touched entry (exact; wins when the table is
+    #                  smaller than the contribution stream).
+    #   "stochastic" — sample ONE corner per (point, level) with
+    #                  probability = its interpolation weight and
+    #                  scatter the unweighted cotangent there: an
+    #                  unbiased estimator (E = sum_c w_c g) with C x
+    #                  fewer scatter indices. Opt-in knob for
+    #                  throughput-critical training.
+    #   "auto"       — "dedup" when total_entries < half the corner
+    #                  stream (the measured break-even), else "exact".
+    grad_mode: str = "auto"
 
     @property
     def corners(self) -> int:
@@ -58,6 +74,7 @@ class HashGridConfig:
         log2_hashmap_size: int = 19,
         dtype: str = "float32",
         interp: str = "cube",
+        grad_mode: str = "auto",
     ) -> "HashGridConfig":
         """per_level_scale = exp((ln max_res - ln base_res)/(L-1)),
         the reference's derivation (ngp.py:320-322, field.py:154)."""
@@ -73,6 +90,7 @@ class HashGridConfig:
             per_level_scale=s,
             dtype=dtype,
             interp=interp,
+            grad_mode=grad_mode,
         )
 
     @property
@@ -260,33 +278,146 @@ def _encode_fwd(table, x, cfg: HashGridConfig):
     return out, res
 
 
+def _seg_combine(a, b):
+    """Associative operator of the resetting segmented sum: a segment-
+    start flag on the right operand discards the left prefix."""
+    af, avs = a[0], a[1:]
+    bf, bvs = b[0], b[1:]
+    vs = tuple(
+        jnp.where(bf, bv, av + bv) for av, bv in zip(avs, bvs)
+    )
+    return (af | bf,) + vs
+
+
+def _dedup_table_grad(idx_e, contribs, total_entries: int):
+    """Exact table gradient with deduplicated scatter indices.
+
+    idx_e: [M] i32 entry ids; contribs: tuple of F arrays [M] f32.
+    Sort by entry, reduce each run with a *resetting* segmented scan
+    (a global cumsum + boundary diff loses ~all precision at M ~ 16M
+    in f32), stable-partition the run totals to the front, and scatter
+    at most min(M, total_entries) rows. Exact modulo f32 summation
+    order. Returns flat [total_entries * F] f32.
+    """
+    F = len(contribs)
+    m = idx_e.shape[0]
+    cap = min(m, total_entries)
+    srt = jax.lax.sort((idx_e,) + tuple(contribs), num_keys=1)
+    ids_s, vals_s = srt[0], srt[1:]
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), ids_s[1:] != ids_s[:-1]]
+    )
+    scanned = jax.lax.associative_scan(
+        _seg_combine, (is_start,) + tuple(vals_s)
+    )
+    totals = scanned[1:]  # valid at run ENDS (inclusive scan)
+    is_end = jnp.concatenate([is_start[1:], jnp.ones((1,), bool)])
+    # stable partition by !is_end: every run's total lands once in the
+    # first `num_runs <= cap` slots
+    part = jax.lax.sort(
+        ((~is_end).astype(jnp.int32), ids_s) + tuple(totals),
+        num_keys=1,
+    )
+    valid_c = part[0][:cap] == 0
+    ids_c = jnp.where(valid_c, part[1][:cap], total_entries)
+    flat = jnp.concatenate([ids_c * F + f for f in range(F)])
+    vals = jnp.concatenate(
+        [jnp.where(valid_c, t[:cap], 0.0) for t in part[2:]]
+    )
+    out = (
+        jnp.zeros(((total_entries + 1) * F,), jnp.float32)
+        .at[flat]
+        .add(vals, mode="promise_in_bounds")
+    )
+    return out[: total_entries * F]
+
+
+def _hash_u01(x, n_levels: int):
+    """Deterministic per-(position, level) uniforms in [0, 1) from the
+    coordinate bit patterns (train-time positions are jittered every
+    step, so successive steps see fresh draws)."""
+    xb = jax.lax.bitcast_convert_type(x, jnp.uint32)  # [N, 3]
+    h = (
+        xb[:, 0] * jnp.uint32(0x9E3779B1)
+        ^ xb[:, 1] * jnp.uint32(0x85EBCA77)
+        ^ xb[:, 2] * jnp.uint32(0xC2B2AE3D)
+    )
+    lv = (
+        jnp.arange(n_levels, dtype=jnp.uint32) * jnp.uint32(0x27D4EB2F)
+    )
+    h = h[None, :] ^ lv[:, None]                      # [L, N]
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x2C1B3C6D)
+    h = h ^ (h >> 12)
+    return (h >> 8).astype(jnp.float32) * (2.0**-24)
+
+
 def _encode_bwd(cfg: HashGridConfig, saved, g):
     idx, w, feats, x = saved
     table_dtype = jnp.dtype(cfg.dtype)
     n = x.shape[0]
     L, C, F = cfg.n_levels, cfg.corners, cfg.n_features
-    # dL/dtable: scatter w*g at the corner entries as flat *scalar*
-    # indices (13 ns/idx vs 81 ns/idx for row scatter on v5e).
-    # Layout note: contributions are built as [F, L, C, N] so the
-    # trailing two dims are (C>=4, N) — the natural [N, L, C, F] order
+    # Layout note: gradient contributions are built with N as the
+    # trailing (128-lane) dim — the natural [N, L, C, F] order
     # tile-pads its (C, F) minor dims (8,128)-wise, a 64x HBM blowup
     # that OOM'd compilation.
     w_t = w.T.reshape(L, C, n)                       # [L, C, N]
-    g_t = g.T.reshape(L, F, n)                       # [L, F, N]
-    contrib_t = (
-        w_t[None, :, :, :]
-        * jnp.swapaxes(g_t, 0, 1)[:, :, None, :]     # [F, L, 1, N]
-    )                                                # [F, L, C, N]
-    idx_t = idx.T.reshape(1, L, C, n)
-    f_off = jnp.arange(F, dtype=idx.dtype).reshape(F, 1, 1, 1)
-    flat_idx_t = idx_t * F + f_off                   # [F, L, C, N]
-    d_table = (
-        jnp.zeros((cfg.total_entries * F,), jnp.float32)
-        .at[flat_idx_t.reshape(-1)]
-        .add(contrib_t.reshape(-1), mode="promise_in_bounds")
-        .reshape(cfg.total_entries, F)
-        .astype(table_dtype)
-    )
+    g_t = g.astype(jnp.float32).T.reshape(L, F, n)   # [L, F, N]
+    idx_t = idx.T.reshape(L, C, n)
+
+    mode = cfg.grad_mode
+    if mode == "auto":
+        # dedup pays one extra sort + partition (~10 ns per
+        # contribution) to save 13 ns per deduplicated scalar: wins
+        # when the table is under ~half the contribution stream
+        mode = "dedup" if cfg.total_entries * 2 <= n * L * C else "exact"
+
+    if mode == "stochastic":
+        # one corner per (level, point), picked with probability = its
+        # interpolation weight; the unweighted cotangent is an unbiased
+        # estimator of the exact sum_c w_c * g (both interpolation
+        # schemes have nonneg weights summing to 1)
+        u = _hash_u01(jnp.clip(x, 0.0, 1.0), L)       # [L, N]
+        cdf = jnp.cumsum(w_t, axis=1)                 # [L, C, N]
+        c_sel = jnp.zeros((L, n), jnp.int32)
+        for k in range(C - 1):
+            c_sel = c_sel + (u >= cdf[:, k, :]).astype(jnp.int32)
+        idx_sel = jnp.take_along_axis(
+            idx_t, c_sel[:, None, :], axis=1
+        )[:, 0, :]                                    # [L, N]
+        flat_idx = jnp.stack(
+            [idx_sel * F + f for f in range(F)]
+        )                                             # [F, L, N]
+        contrib = jnp.swapaxes(g_t, 0, 1)             # [F, L, N]
+        d_flat = (
+            jnp.zeros((cfg.total_entries * F,), jnp.float32)
+            .at[flat_idx.reshape(-1)]
+            .add(contrib.reshape(-1), mode="promise_in_bounds")
+        )
+    elif mode == "dedup":
+        contribs = tuple(
+            (w_t * g_t[:, f : f + 1, :]).reshape(-1) for f in range(F)
+        )
+        d_flat = _dedup_table_grad(
+            idx_t.reshape(-1), contribs, cfg.total_entries
+        )
+    else:
+        if mode != "exact":
+            raise ValueError(f"unknown grad_mode: {mode!r}")
+        # dL/dtable: scatter w*g at the corner entries as flat *scalar*
+        # indices (13 ns/idx vs 81 ns/idx for row scatter on v5e)
+        contrib_t = (
+            w_t[None, :, :, :]
+            * jnp.swapaxes(g_t, 0, 1)[:, :, None, :]  # [F, L, 1, N]
+        )                                             # [F, L, C, N]
+        f_off = jnp.arange(F, dtype=idx.dtype).reshape(F, 1, 1, 1)
+        flat_idx_t = idx_t[None] * F + f_off          # [F, L, C, N]
+        d_flat = (
+            jnp.zeros((cfg.total_entries * F,), jnp.float32)
+            .at[flat_idx_t.reshape(-1)]
+            .add(contrib_t.reshape(-1), mode="promise_in_bounds")
+        )
+    d_table = d_flat.reshape(cfg.total_entries, F).astype(table_dtype)
     # dL/dx via the interpolation-weight jacobian: dL/dw[c] =
     # sum_f feats[c,f]*g[f], again in small-pad layout
     # tile g per corner: row pattern [g_l0, g_l1] * C matches the

@@ -46,7 +46,7 @@ class RenderConfig:
     # granularity over a dilated downsampled grid (identical sample
     # set, ~coarse_factor x fewer occupancy lookups)
     coarse_factor: int = 0
-    max_coarse_hits: int = 0  # 0 -> max_samples_total // 2
+    max_coarse_hits: int = 0  # 0 -> max_samples_total
 
 
 class RenderResult(NamedTuple):

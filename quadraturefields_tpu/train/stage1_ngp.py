@@ -54,6 +54,8 @@ class Stage1Config:
     num_lobes: int = 2
     num_layers: int = 2
     log2_hashmap_size: int = 19
+    interp: str = "tet"       # hash-grid interpolation (hashgrid.py)
+    grad_mode: str = "auto"   # table-gradient strategy (hashgrid.py)
     scale: float = 1.5
     lr: float = 1e-2
     weight_decay: Optional[float] = None  # per-scene default if None
@@ -91,6 +93,8 @@ class Stage1Config:
             num_layers=self.num_layers,
             log2_hashmap_size=self.log2_hashmap_size,
             compute_dtype=self.compute_dtype,
+            interp=self.interp,
+            grad_mode=self.grad_mode,
         )
 
     def render_config(self) -> RenderConfig:

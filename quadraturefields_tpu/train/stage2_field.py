@@ -62,6 +62,8 @@ class Stage2Config:
     num_lobes: int = 2  # must match the stage-1 model
     num_layers: int = 2
     log2_hashmap_size: int = 19  # stage-1 NGP table
+    interp: str = "tet"       # hash-grid interpolation (hashgrid.py)
+    grad_mode: str = "auto"   # table-gradient strategy (hashgrid.py)
     field_log2_hashmap_size: int = 30  # field table (run script value)
     field_scale: float = 0.5
     field_max_res: int = 512
@@ -100,6 +102,8 @@ class Stage2Config:
             num_g_lobes=self.num_lobes,
             num_layers=self.num_layers,
             log2_hashmap_size=self.log2_hashmap_size,
+            interp=self.interp,
+            grad_mode=self.grad_mode,
         )
 
     def field_config(self) -> FieldConfig:
@@ -115,6 +119,8 @@ class Stage2Config:
             output_dim=1,
             hidden_size=self.field_hidden_size,
             nl="elu",
+            interp=self.interp,
+            grad_mode=self.grad_mode,
         )
 
     def render_config(self) -> RenderConfig:

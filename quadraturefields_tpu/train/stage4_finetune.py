@@ -70,6 +70,8 @@ class Stage4Config:
     num_lobes: int = 0               # plain NGP head in the shipped recipe
     num_layers: int = 2
     log2_hashmap_size: int = 19
+    interp: str = "tet"       # hash-grid interpolation (hashgrid.py)
+    grad_mode: str = "auto"   # table-gradient strategy (hashgrid.py)
     scale: float = 1.5
     lr: float = 2e-2
     freeze_rf_steps: int = 300
@@ -108,6 +110,8 @@ class Stage4Config:
             num_g_lobes=self.num_lobes,
             num_layers=self.num_layers,
             log2_hashmap_size=self.log2_hashmap_size,
+            interp=self.interp,
+            grad_mode=self.grad_mode,
         )
 
     def field_config(self) -> FieldConfig:
@@ -123,6 +127,8 @@ class Stage4Config:
             output_dim=1,
             hidden_size=32,
             nl="relu",
+            interp=self.interp,
+            grad_mode=self.grad_mode,
         )
 
     def render_config(self) -> RenderConfig:

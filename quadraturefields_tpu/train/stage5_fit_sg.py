@@ -53,6 +53,8 @@ class Stage5Config:
     num_lobes: int = 6
     num_layers: int = 2
     log2_hashmap_size: int = 19
+    interp: str = "tet"       # hash-grid interpolation (hashgrid.py)
+    grad_mode: str = "auto"   # table-gradient strategy (hashgrid.py)
     scale: float = 1.5
     lr: float = 2e-2
     grid_resolution: int = 128
@@ -78,6 +80,8 @@ class Stage5Config:
             num_g_lobes=self.num_lobes,
             num_layers=self.num_layers,
             log2_hashmap_size=self.log2_hashmap_size,
+            interp=self.interp,
+            grad_mode=self.grad_mode,
         )
 
     def teacher_config(self) -> NGPConfig:
@@ -86,6 +90,8 @@ class Stage5Config:
             use_viewdirs=False,
             num_layers=self.num_layers,
             log2_hashmap_size=self.log2_hashmap_size,
+            interp=self.interp,
+            grad_mode=self.grad_mode,
         )
 
 

@@ -192,3 +192,110 @@ def test_hash_indices_in_range():
     x = jax.random.uniform(key, (1000, 3))
     out = hashgrid_encode(table, x, cfg)  # would crash/NaN on bad indexing
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_grad_mode_dedup_matches_exact():
+    """The dedup table gradient is the exact gradient (modulo f32
+    summation order)."""
+    import dataclasses
+
+    for interp in ("cube", "tet"):
+        cfg_e = HashGridConfig(
+            n_levels=4,
+            log2_hashmap_size=8,
+            base_resolution=4,
+            per_level_scale=2.0,
+            interp=interp,
+            grad_mode="exact",
+        )
+        cfg_d = dataclasses.replace(cfg_e, grad_mode="dedup")
+        table = hashgrid_init(jax.random.PRNGKey(0), cfg_e)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2048, 3))
+        ct = jax.random.normal(
+            jax.random.PRNGKey(2), (2048, cfg_e.output_dim)
+        )
+
+        def tg(cfg):
+            return jax.grad(
+                lambda t: jnp.sum(hashgrid_encode(t, x, cfg) * ct)
+            )(table)
+
+        ge, gd = tg(cfg_e), tg(cfg_d)
+        np.testing.assert_allclose(ge, gd, atol=1e-4, rtol=1e-4)
+        # position gradients are mode-independent
+        def xg(cfg):
+            return jax.grad(
+                lambda p: jnp.sum(hashgrid_encode(table, p, cfg) * ct)
+            )(x)
+
+        np.testing.assert_allclose(
+            xg(cfg_e), xg(cfg_d), atol=1e-6, rtol=1e-6
+        )
+
+
+def test_grad_mode_auto_dispatch():
+    """auto = dedup for small tables, exact for huge ones; both equal
+    the exact gradient either way."""
+    import dataclasses
+
+    # tiny table (dedup regime) and big table (exact regime)
+    for log2_t, n in ((6, 4096), (19, 64)):
+        cfg_a = HashGridConfig(
+            n_levels=2,
+            log2_hashmap_size=log2_t,
+            base_resolution=8,
+            per_level_scale=2.0,
+            grad_mode="auto",
+        )
+        cfg_e = dataclasses.replace(cfg_a, grad_mode="exact")
+        table = hashgrid_init(jax.random.PRNGKey(0), cfg_a)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (n, 3))
+
+        def tg(cfg):
+            return jax.grad(
+                lambda t: jnp.sum(hashgrid_encode(t, x, cfg))
+            )(table)
+
+        np.testing.assert_allclose(
+            tg(cfg_a), tg(cfg_e), atol=1e-4, rtol=1e-4
+        )
+
+
+def test_grad_mode_stochastic_unbiased():
+    """Averaged over many fresh point draws, the stochastic-corner
+    table gradient converges to the exact one (unbiased estimator)."""
+    import dataclasses
+
+    cfg_e = HashGridConfig(
+        n_levels=3,
+        log2_hashmap_size=6,
+        base_resolution=4,
+        per_level_scale=2.0,
+        interp="tet",
+        grad_mode="exact",
+    )
+    cfg_s = dataclasses.replace(cfg_e, grad_mode="stochastic")
+    table = hashgrid_init(jax.random.PRNGKey(0), cfg_e)
+    acc_s = jnp.zeros_like(table)
+    acc_e = jnp.zeros_like(table)
+
+    @jax.jit
+    def both(xr):
+        def f(t, cfg):
+            return jnp.sum(hashgrid_encode(t, xr, cfg))
+
+        return (
+            jax.grad(f)(table, cfg_s),
+            jax.grad(f)(table, cfg_e),
+        )
+
+    n_draws = 150
+    for r in range(n_draws):
+        xr = jax.random.uniform(jax.random.PRNGKey(100 + r), (1024, 3))
+        gs, ge = both(xr)
+        acc_s += gs
+        acc_e += ge
+    rel = float(
+        jnp.linalg.norm(acc_s - acc_e) / jnp.linalg.norm(acc_e)
+    )
+    assert rel < 0.05, rel
