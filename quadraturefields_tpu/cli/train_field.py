@@ -27,12 +27,20 @@ def build_parser():
     p.add_argument("--coarse_factor", type=int, default=4,
                    help="two-level march factor (0 = single-level; "
                         "the sample set is identical either way)")
+    p.add_argument("--interp", type=str, default="tet",
+                   choices=["cube", "tet"],
+                   help="hash-grid interpolation (hashgrid.py)")
+    p.add_argument("--grad_mode", type=str, default="auto",
+                   choices=["auto", "exact", "dedup", "stochastic"],
+                   help="table-gradient strategy (hashgrid.py)")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = Stage2Config(
+        interp=args.interp,
+        grad_mode=args.grad_mode,
         scene=args.scene,
         data_root=args.data_root,
         exp_name=args.exp_name,

@@ -31,12 +31,20 @@ def build_parser():
     p.add_argument("--o_lambda", type=float, default=1e-3)
     p.add_argument("--agg", type=float, default=0.0)
     p.add_argument("--optix", type=int, default=0)
+    p.add_argument("--interp", type=str, default="tet",
+                   choices=["cube", "tet"],
+                   help="hash-grid interpolation (hashgrid.py)")
+    p.add_argument("--grad_mode", type=str, default="auto",
+                   choices=["auto", "exact", "dedup", "stochastic"],
+                   help="table-gradient strategy (hashgrid.py)")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = Stage4Config(
+        interp=args.interp,
+        grad_mode=args.grad_mode,
         scene=args.scene,
         data_root=args.data_root,
         exp_name=args.exp_name,

@@ -25,6 +25,12 @@ def build_parser():
     p.add_argument("--max_iterations", type=int, default=20000)
     p.add_argument("--occ_thres", type=float, default=0.01)
     p.add_argument("--optix", type=int, default=0)
+    p.add_argument("--interp", type=str, default="tet",
+                   choices=["cube", "tet"],
+                   help="hash-grid interpolation (hashgrid.py)")
+    p.add_argument("--grad_mode", type=str, default="auto",
+                   choices=["auto", "exact", "dedup", "stochastic"],
+                   help="table-gradient strategy (hashgrid.py)")
     return p
 
 
@@ -32,6 +38,8 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     scale = 2.0 if args.scene in ("horse", "woolly") else args.scale
     cfg = Stage5Config(
+        interp=args.interp,
+        grad_mode=args.grad_mode,
         scene=args.scene,
         data_root=args.data_root,
         exp_name=args.exp_name,
