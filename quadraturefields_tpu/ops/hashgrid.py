@@ -289,6 +289,58 @@ def _seg_combine(a, b):
     return (af | bf,) + vs
 
 
+def _segmented_scan(is_start, vals, block: int = 1024):
+    """Inclusive segmented sum-scan over 1-D arrays (resets where
+    is_start). A direct `associative_scan` over tens of millions of
+    elements compiles pathologically on the TPU toolchain, so this is
+    blocked: a log-step Hillis-Steele scan inside [block]-wide rows
+    (pure streaming vector ops) + an `associative_scan` over the tiny
+    per-row carry monoid. Returns (scanned_vals, seen_flag) where
+    seen_flag marks positions at/after their row-prefixed segment
+    start (used by callers only via the scanned values).
+    """
+    m = is_start.shape[0]
+    pad = (-m) % block
+    if pad:
+        # padding elements start their own segments: no carry leaks
+        is_start = jnp.concatenate(
+            [is_start, jnp.ones((pad,), bool)]
+        )
+        vals = tuple(
+            jnp.concatenate([v, jnp.zeros((pad,), v.dtype)])
+            for v in vals
+        )
+    R = is_start.shape[0] // block
+    F = is_start.reshape(R, block)
+    V = tuple(v.reshape(R, block) for v in vals)
+    d = 1
+    while d < block:
+        fs = jnp.pad(F, ((0, 0), (d, 0)))[:, :block]
+        V = tuple(
+            v + jnp.where(
+                F, 0.0, jnp.pad(v, ((0, 0), (d, 0)))[:, :block]
+            )
+            for v in V
+        )
+        F = F | fs
+        d *= 2
+    # cross-row carries: each row aggregates to (trailing-segment sum,
+    # any-flag); exclusive segmented scan over the R-element monoid
+    row = (F[:, -1],) + tuple(v[:, -1] for v in V)
+    agg = jax.lax.associative_scan(_seg_combine, row)
+    carry_f = jnp.concatenate([jnp.zeros((1,), bool), agg[0][:-1]])
+    carries = tuple(
+        jnp.concatenate([jnp.zeros((1,), a.dtype), a[:-1]])
+        for a in agg[1:]
+    )
+    del carry_f  # carry value is already reset-aware per row
+    V = tuple(
+        v + jnp.where(F, 0.0, c[:, None]) for v, c in zip(V, carries)
+    )
+    out = tuple(v.reshape(-1)[:m] for v in V)
+    return out
+
+
 def _dedup_table_grad(idx_e, contribs, total_entries: int):
     """Exact table gradient with deduplicated scatter indices.
 
@@ -307,10 +359,8 @@ def _dedup_table_grad(idx_e, contribs, total_entries: int):
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), ids_s[1:] != ids_s[:-1]]
     )
-    scanned = jax.lax.associative_scan(
-        _seg_combine, (is_start,) + tuple(vals_s)
-    )
-    totals = scanned[1:]  # valid at run ENDS (inclusive scan)
+    totals = _segmented_scan(is_start, tuple(vals_s))
+    # totals valid at run ENDS (inclusive scan)
     is_end = jnp.concatenate([is_start[1:], jnp.ones((1,), bool)])
     # stable partition by !is_end: every run's total lands once in the
     # first `num_runs <= cap` slots
@@ -367,10 +417,12 @@ def _encode_bwd(cfg: HashGridConfig, saved, g):
 
     mode = cfg.grad_mode
     if mode == "auto":
-        # dedup pays one extra sort + partition (~10 ns per
-        # contribution) to save 13 ns per deduplicated scalar: wins
-        # when the table is under ~half the contribution stream
-        mode = "dedup" if cfg.total_entries * 2 <= n * L * C else "exact"
+        # measured on v5e (PERF_NOTES.md): dedup beats exact by 15% in
+        # isolation (520 vs 610 ms at 16.8M contributions) but loses
+        # badly when composed into the full jitted train step (1236 vs
+        # 782 ms) — an XLA scheduling/layout effect still to be
+        # root-caused — so auto stays on the scatter path for now
+        mode = "exact"
 
     if mode == "stochastic":
         # one corner per (level, point), picked with probability = its
