@@ -1,15 +1,29 @@
-"""Benchmark: stage-1 NGP training throughput on the real chip.
+"""Benchmark: stage-1 NGP training throughput + baked-eval FPS on the
+real chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "extra": {...}}
 
-Metric: training samples/sec (field evaluations composited per second)
-for the stage-1 recipe at the reference's shipped scale (2^18 target
-samples/step, 128^3 occupancy grid, 16x2^19 hash table, step 5e-3).
-Baseline: the reference publishes no numbers (BASELINE.md); we use an
-estimated RTX-3090 nerfacc/tcnn throughput of 2.6e7 samples/s
-(~100 steps/s at 2^18 samples) and report vs_baseline against the
-2x-per-chip north-star target, i.e. vs_baseline = value / (2 * 2.6e7).
+Primary metric: training samples/sec (field evaluations composited per
+second) for the stage-1 recipe at the reference's shipped scale (2^18
+target samples/step, 128^3 occupancy grid, 16x2^19 hash table, step
+5e-3). Baseline: the reference publishes no numbers (BASELINE.md); we
+use an estimated RTX-3090 nerfacc/tcnn throughput of 2.6e7 samples/s
+(~100 steps/s at 2^18) and report vs_baseline against the 2x-per-chip
+north-star target, i.e. vs_baseline = value / (2 * 2.6e7).
+
+Extra metric: end-to-end frames/sec of the baked texture-only render
+path at 800x800 (the paper's real-time benchmark; reference
+examples/test_baking_texture_images.py:341-429 over
+utils.py:999-1095): host C++ BVH multi-hit ray cast (overlapped across
+chunks) + on-device texel decode + SG color + quadrature composite.
+
+Timing discipline: jax.block_until_ready does NOT synchronize under
+the axon remote platform (measured: a 131 ms gather "completes" in
+0.03 ms); every timed window here ends in a host transfer (float()),
+windows are repeated and the median is reported (run-to-run spread
+measured < +-2%; the round-1 +-20% was an artifact of broken sync).
 """
 from __future__ import annotations
 
@@ -23,31 +37,29 @@ BASELINE_SAMPLES_PER_SEC = 2.6e7  # estimated RTX-3090 stage-1 throughput
 TARGET_MULTIPLIER = 2.0
 
 
-def main():
+def bench_stage1():
     import jax
     import jax.numpy as jnp
+    import optax
 
     from quadraturefields_tpu.data.fixture import FixtureScene
     from quadraturefields_tpu.models.ngp import NGPConfig, ngp_init
     from quadraturefields_tpu.ops.grid import (
         OccGridConfig,
         occ_grid_init,
-        occ_grid_update,
         max_march_steps,
     )
-    from quadraturefields_tpu.models.ngp import ngp_query_density
     from quadraturefields_tpu.render.renderer import (
         RenderConfig,
         render_rays_occgrid,
     )
     from quadraturefields_tpu.utils.metrics import smooth_l1_loss
     from quadraturefields_tpu.utils.optim import make_ngp_optimizer
-    import optax
 
     aabb = jnp.asarray([-1.5] * 3 + [1.5] * 3)
     # tet interpolation is the TPU-native default: exact piecewise-
-    # linear encoding with half the table lookups (gather/scatter cost
-    # on TPU scales with index count; see PERF_NOTES.md)
+    # linear encoding with half the table lookups; grad_mode auto
+    # resolves to the sorted Pallas accumulate (see PERF_NOTES.md)
     ngp_cfg = NGPConfig(
         head="sg", num_g_lobes=2, log2_hashmap_size=19, interp="tet"
     )
@@ -69,13 +81,6 @@ def main():
     # put the grid in a realistic post-pruning regime: occupy the
     # fixture sphere (~2% of cells occupied, like trained lego)
     scene = FixtureScene()
-
-    def occ_seed_fn(x):
-        return jnp.asarray(
-            scene.sigma(np.asarray(x)) * step_size, jnp.float32
-        )
-
-    # host-side seeding of binaries (not benchmarked)
     res = occ_cfg.resolution
     grid = np.stack(
         np.meshgrid(*([np.linspace(-1.5, 1.5, res)] * 3), indexing="ij"),
@@ -126,43 +131,228 @@ def main():
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, nv
 
-    # warmup/compile
-    o, d, p = make_batch()
+    # warmup/compile (also settles remote-toolchain caches)
+    batches = [make_batch() for _ in range(5)]
+    o, d, p = batches[0]
     params, opt_state, loss, nv = train_step(
         params, opt_state, occ_state, o, d, p, key
     )
-    jax.block_until_ready(loss)
+    float(loss)
 
-    n_iters = 50
-    batches = [make_batch() for _ in range(5)]
-    total_samples = 0
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        o, d, p = batches[i % len(batches)]
-        params, opt_state, loss, nv = train_step(
-            params, opt_state, occ_state, o, d, p,
-            jax.random.fold_in(key, i),
-        )
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
-    # count true composited samples (per-step demand, capped at budget)
+    # median-of-3 timed windows, each synced by a host transfer
+    n_iters = 15
+    window_times = []
+    step_i = 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            o, d, p = batches[step_i % len(batches)]
+            params, opt_state, loss, nv = train_step(
+                params, opt_state, occ_state, o, d, p,
+                jax.random.fold_in(key, step_i),
+            )
+            step_i += 1
+        float(loss)  # real synchronization point
+        window_times.append(time.perf_counter() - t0)
+    dt = sorted(window_times)[1] / n_iters
     nv_val = min(int(nv), rcfg.max_samples_total)
-    samples_per_sec = nv_val * n_iters / dt
+    return nv_val / dt, window_times
 
-    print(
-        json.dumps(
-            {
-                "metric": "stage1_train_samples_per_sec",
-                "value": round(samples_per_sec, 1),
-                "unit": "samples/s",
-                "vs_baseline": round(
-                    samples_per_sec
-                    / (TARGET_MULTIPLIER * BASELINE_SAMPLES_PER_SEC),
-                    4,
-                ),
-            }
-        )
+
+def _bumpy_sphere(n: int = 200, radius: float = 0.9, seed: int = 0):
+    """UV-sphere with low-frequency radial displacement (~2*n^2 faces),
+    a stand-in for a decimated stage-3 mesh."""
+    th = np.linspace(0, np.pi, n + 1)
+    ph = np.linspace(0, 2 * np.pi, n + 1)[:-1]
+    T, P = np.meshgrid(th, ph, indexing="ij")
+    r = radius * (
+        1.0
+        + 0.08 * np.sin(3 * T) * np.cos(4 * P)
+        + 0.05 * np.cos(7 * T + 2 * P)
     )
+    x = r * np.sin(T) * np.cos(P)
+    y = r * np.sin(T) * np.sin(P)
+    z = r * np.cos(T)
+    verts = np.stack([x, y, z], -1).reshape(-1, 3).astype(np.float32)
+
+    def vid(i, j):
+        return i * n + (j % n)
+
+    faces = []
+    for i in range(n):
+        for j in range(n):
+            a, b = vid(i, j), vid(i, j + 1)
+            c, d = vid(i + 1, j), vid(i + 1, j + 1)
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    return verts, np.asarray(faces, np.int32)
+
+
+def bench_baked_fps():
+    """End-to-end baked render at 800x800 over the fixture atlas."""
+    import jax
+    import jax.numpy as jnp
+
+    from quadraturefields_tpu.baking.compression import FeatureCompression
+    from quadraturefields_tpu.baking.stage6 import (
+        BakedRenderer,
+        segment_and_atlas,
+    )
+    from quadraturefields_tpu.geometry.meshio import Mesh
+    from quadraturefields_tpu.models.ngp import NGPConfig
+
+    num_lobes = 2
+    texture_size = 4096
+    verts, faces = _bumpy_sphere(200)
+    mesh = Mesh(verts, faces)
+    atlas_mesh, uv, v_image, tri_image = segment_and_atlas(
+        mesh, texture_size
+    )
+
+    # fill the compressor with plausible synthetic SG features at the
+    # valid texels (feature VALUES don't change the timed path)
+    rng = np.random.default_rng(0)
+    comp = FeatureCompression(
+        num_lobes=num_lobes, initialize=True,
+        texture_size=texture_size, compression_type="sigmoid",
+    )
+    rows, cols = np.nonzero(tri_image >= 0)
+    feats = np.zeros((rows.shape[0], 3 + 7 * num_lobes + 1), np.float32)
+    feats[:, :3] = rng.normal(0, 1, (rows.shape[0], 3))
+    for i in range(num_lobes):
+        o = 3 + 7 * i
+        ax = rng.normal(size=(rows.shape[0], 3))
+        feats[:, o:o + 3] = ax / np.linalg.norm(ax, axis=1, keepdims=True)
+        feats[:, o + 3] = rng.uniform(0.5, 6.0, rows.shape[0])
+        feats[:, o + 4:o + 7] = rng.normal(0, 1, (rows.shape[0], 3))
+    feats[:, -1] = rng.uniform(50.0, 400.0, rows.shape[0])
+    chunk = 1 << 20
+    for i in range(0, rows.shape[0], chunk):
+        comp.load_features_into_maps(
+            feats[i:i + chunk],
+            np.stack([rows[i:i + chunk], cols[i:i + chunk]], 1),
+        )
+
+    sg_cfg = NGPConfig(head="sg", num_g_lobes=num_lobes)
+    renderer = BakedRenderer(
+        atlas_mesh, uv, comp, sg_cfg, max_hits=8,
+        render_step_size=5e-3,
+    )
+
+    # one 800x800 view orbiting the object
+    H = W = 800
+    focal = 1111.0
+
+    def view_rays(theta):
+        eye = np.asarray(
+            [3.0 * np.cos(theta), 3.0 * np.sin(theta), 1.2], np.float32
+        )
+        fwd = -eye / np.linalg.norm(eye)
+        right = np.cross(fwd, [0, 0, 1.0])
+        right /= np.linalg.norm(right)
+        up = np.cross(right, fwd)
+        i, j = np.meshgrid(
+            np.arange(W, dtype=np.float32),
+            np.arange(H, dtype=np.float32),
+            indexing="xy",
+        )
+        dirs = (
+            (i[..., None] - W / 2) / focal * right
+            + (j[..., None] - H / 2) / focal * -up
+            + fwd
+        )
+        dirs = dirs.reshape(-1, 3)
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        origins = np.broadcast_to(eye, dirs.shape)
+        return (
+            np.ascontiguousarray(origins, np.float32),
+            dirs.astype(np.float32),
+        )
+
+    chunk = 1 << 16
+    views = [view_rays(t) for t in np.linspace(0, 2 * np.pi, 4)[:3]]
+
+    import threading
+    from queue import Queue
+
+    def render_view_pipelined(origins, viewdirs):
+        """Host BVH intersection for chunk i+1 overlaps device render of
+        chunk i (the reference overlaps the same work via DataLoader
+        workers, train_finetune.py:307-317)."""
+        n = origins.shape[0]
+        q: Queue = Queue(maxsize=2)
+
+        def producer():
+            for i in range(0, n, chunk):
+                o = origins[i:i + chunk]
+                d = viewdirs[i:i + chunk]
+                tri_ids, ts, valid = (
+                    renderer.mesh_intersect.intersect_rows(o, d)
+                )
+                fv = renderer.mesh_intersect.face_vertices(tri_ids)
+                fuv = renderer.uv[
+                    renderer.mesh_intersect.mesh.faces[
+                        np.maximum(tri_ids, 0)
+                    ]
+                ]
+                q.put((o, d, tri_ids, ts, valid, fv, fuv))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        outs = []
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            o, d, tri_ids, ts, valid, fv, fuv = item
+            rgb, _, _ = renderer._render(
+                jnp.asarray(o), jnp.asarray(d), jnp.asarray(tri_ids),
+                jnp.asarray(ts), jnp.asarray(valid), jnp.asarray(fv),
+                jnp.asarray(fuv),
+            )
+            outs.append(rgb)
+        return np.concatenate([np.asarray(r) for r in outs])[:n]
+
+    # compile + warm
+    render_view_pipelined(*views[0])
+    times = []
+    for k in range(3):
+        t0 = time.perf_counter()
+        img = render_view_pipelined(*views[k % len(views)])
+        times.append(time.perf_counter() - t0)
+    med = sorted(times)[1]
+    assert img.shape[0] == H * W
+    return 1.0 / med, times
+
+
+def main():
+    samples_per_sec, s1_windows = bench_stage1()
+    try:
+        fps, fps_times = bench_baked_fps()
+    except Exception as e:  # never lose the primary metric
+        fps, fps_times = None, [repr(e)]
+
+    out = {
+        "metric": "stage1_train_samples_per_sec",
+        "value": round(samples_per_sec, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(
+            samples_per_sec / (TARGET_MULTIPLIER * BASELINE_SAMPLES_PER_SEC),
+            4,
+        ),
+        "extra": {
+            "baked_eval_fps_800x800": (
+                round(fps, 2) if fps is not None else None
+            ),
+            "stage1_window_s": [round(t, 3) for t in s1_windows],
+            "baked_frame_s": [
+                round(t, 4) if isinstance(t, float) else t
+                for t in fps_times
+            ],
+        },
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -44,21 +44,24 @@ class HashGridConfig:
     # "cube" = trilinear over 8 corners (tcnn parity); "tet" = exact
     # piecewise-linear over the Kuhn simplex (4 lookups, TPU-friendly)
     interp: str = "cube"
-    # Table-gradient strategy (XLA TPU scatter costs ~13 ns per scalar
+    # Table-gradient strategy (XLA TPU scatter costs ~8.6 ns per scalar
     # index, the dominant cost of NGP training — PERF_NOTES.md):
     #   "exact"      — flat scalar scatter of every corner contribution.
+    #   "sorted"     — one lax.sort of the contribution stream by entry
+    #                  + a Pallas windowed one-hot MXU accumulate (see
+    #                  hashgrid_sorted.py). Exact modulo f32 summation
+    #                  order; ~2x faster than "exact" at stage-1 scale.
     #   "dedup"      — sort contributions by entry, reduce runs with a
     #                  resetting segmented scan, scatter one row per
-    #                  touched entry (exact; wins when the table is
-    #                  smaller than the contribution stream).
+    #                  touched entry (exact; superseded by "sorted").
     #   "stochastic" — sample ONE corner per (point, level) with
     #                  probability = its interpolation weight and
     #                  scatter the unweighted cotangent there: an
     #                  unbiased estimator (E = sum_c w_c g) with C x
     #                  fewer scatter indices. Opt-in knob for
     #                  throughput-critical training.
-    #   "auto"       — "dedup" when total_entries < half the corner
-    #                  stream (the measured break-even), else "exact".
+    #   "auto"       — "sorted" when F == 2 (the production configs),
+    #                  else "exact".
     grad_mode: str = "auto"
 
     @property
@@ -206,23 +209,30 @@ def _corner_indices_weights(x, cfg: HashGridConfig):
                 f = frac[:, None, axis]
                 w = w * (c * f + (1.0 - c) * (1.0 - f))
         else:  # tetrahedral (Kuhn simplex) interpolation
-            # sort fractional coords descending: the containing simplex
-            # of the cube has corners 0, e_{p1}, e_{p1}+e_{p2}, (1,1,1)
-            order = jnp.argsort(-frac, axis=1)  # [N, 3]
-            f_sorted = jnp.take_along_axis(frac, order, axis=1)
-            # barycentric weights
-            w0 = 1.0 - f_sorted[:, 0]
-            w1 = f_sorted[:, 0] - f_sorted[:, 1]
-            w2 = f_sorted[:, 1] - f_sorted[:, 2]
-            w3 = f_sorted[:, 2]
-            w = jnp.stack([w0, w1, w2, w3], axis=1)
-            # corner offsets: cumulative one-hots of the sorted axes
-            eye = jnp.eye(3, dtype=jnp.int32)
-            steps = eye[order]  # [N, 3, 3] unit offsets in sorted order
+            # rank the fractional coords descending WITHOUT argsort /
+            # take_along_axis / eye-gather (those lower to TPU gathers;
+            # measured ~200 ms of the round-1 336 ms encode forward).
+            # rank_i = #(strictly greater) + #(equal with lower index)
+            # gives distinct ranks 0..2 under ties — a pure comparator
+            # network of elementwise ops.
+            fx, fy, fz = frac[:, 0], frac[:, 1], frac[:, 2]
+            rx = (fy > fx).astype(jnp.int32) + (fz > fx).astype(jnp.int32)
+            ry = (fx >= fy).astype(jnp.int32) + (fz > fy).astype(jnp.int32)
+            rz = (fx >= fz).astype(jnp.int32) + (fy >= fz).astype(jnp.int32)
+            r = jnp.stack([rx, ry, rz], axis=1)       # [N, 3] ranks
+            e_first = (r == 0).astype(jnp.int32)      # argmax one-hot
+            e_second = (r == 1).astype(jnp.int32)
+            ff = frac.astype(compute_dtype)
+            f1 = jnp.sum(jnp.where(r == 0, ff, 0.0), axis=1)
+            f2 = jnp.sum(jnp.where(r == 1, ff, 0.0), axis=1)
+            f3 = jnp.sum(jnp.where(r == 2, ff, 0.0), axis=1)
+            w = jnp.stack(
+                [1.0 - f1, f1 - f2, f2 - f3, f3], axis=1
+            )
             c0 = jnp.zeros((n, 3), jnp.int32)
-            c1 = steps[:, 0]
-            c2 = c1 + steps[:, 1]
-            c3 = c2 + steps[:, 2]
+            c1 = e_first
+            c2 = e_first + e_second
+            c3 = jnp.ones((n, 3), jnp.int32)
             corners = jnp.stack([c0, c1, c2, c3], axis=1) + base[:, None]
             corners = jnp.clip(corners, 0, res - 1)
         idx = _level_indices(corners, res, cfg.level_sizes[l]) \
@@ -417,11 +427,37 @@ def _encode_bwd(cfg: HashGridConfig, saved, g):
 
     mode = cfg.grad_mode
     if mode == "auto":
-        # measured on v5e (PERF_NOTES.md): dedup beats exact by 15% in
-        # isolation (520 vs 610 ms at 16.8M contributions) but loses
-        # badly when composed into the full jitted train step (1236 vs
-        # 782 ms) — an XLA scheduling/layout effect still to be
-        # root-caused — so auto stays on the scatter path for now
+        # "sorted" (lax.sort + Pallas windowed MXU accumulate) is the
+        # measured winner on v5e whenever it applies (see
+        # hashgrid_sorted.py / PERF_NOTES.md). On CPU backends the
+        # Pallas kernel would run in interpret mode (orders of
+        # magnitude slower than the scatter), so auto only selects it
+        # on real accelerators.
+        on_accel = jax.default_backend() != "cpu"
+        mode = "sorted" if (F == 2 and on_accel) else "exact"
+
+    if mode == "sorted" and F == 2:
+        from .hashgrid_sorted import sorted_table_grad
+
+        v0 = (w_t * g_t[:, 0:1, :]).reshape(-1)
+        v1 = (w_t * g_t[:, 1:2, :]).reshape(-1)
+        d_table = sorted_table_grad(
+            idx_t.reshape(-1), v0, v1, cfg.total_entries
+        ).astype(table_dtype)
+        gf = jnp.tile(g.reshape(n * L, F), (1, C)).reshape(n, L * C * F)
+        dL_dw = jnp.sum(
+            (feats.reshape(n, L * C * F) * gf).reshape(n, L * C, F),
+            axis=-1,
+        )
+
+        def w_of_x_s(xx):
+            _, ww = _corner_indices_weights(jnp.clip(xx, 0.0, 1.0), cfg)
+            return ww
+
+        _, pullback_s = jax.vjp(w_of_x_s, x)
+        (d_x_s,) = pullback_s(dL_dw)
+        return d_table, d_x_s
+    elif mode == "sorted":
         mode = "exact"
 
     if mode == "stochastic":
