@@ -24,7 +24,7 @@ from ..geometry.native import segment_mesh
 from ..models.ngp import NGPConfig, ngp_features, ngp_forward
 from ..render.baked import render_baked_rows
 from ..render.quadrature import HitRows, render_fit_sg_rows, row_composite
-from ..utils.metrics import psnr, ssim
+from ..utils.metrics import lpips_metric, psnr, ssim
 from .compression import FeatureCompression
 from .uvatlas import build_uv_atlas, rasterize_v_image
 
@@ -260,7 +260,8 @@ def evaluate_baked(
     if n_views is not None:
         n = min(n, n_views)
     H, W = dataset.HEIGHT, dataset.WIDTH
-    psnrs, ssims = [], []
+    psnrs, ssims, lpipss = [], [], []
+    pairs = []
     t0 = time.perf_counter()
     for i in range(n):
         data = dataset.fetch_eval_view(i)
@@ -268,10 +269,16 @@ def evaluate_baked(
         pixels = data["pixels"].reshape(H, W, 3)
         psnrs.append(float(psnr(jnp.asarray(rgb), jnp.asarray(pixels))))
         ssims.append(float(ssim(jnp.asarray(rgb), jnp.asarray(pixels))))
+        pairs.append((rgb, pixels))
     dt = time.perf_counter() - t0
+    # lpips outside the timed FPS window (the reference times only the
+    # render path, test_baking_texture_images.py:341-415)
+    for rgb, pixels in pairs:
+        lpipss.append(lpips_metric(rgb, pixels))
     results = {
         "psnr": float(np.mean(psnrs)),
         "ssim": float(np.mean(ssims)),
+        "lpips": float(np.mean(lpipss)),
         "fps": n / dt,
         "n_views": n,
     }

@@ -35,7 +35,8 @@ def build_parser():
                    choices=["cube", "tet"],
                    help="hash-grid interpolation (hashgrid.py)")
     p.add_argument("--grad_mode", type=str, default="auto",
-                   choices=["auto", "exact", "dedup", "stochastic"],
+                   choices=["auto", "exact", "sorted", "dedup",
+                            "stochastic"],
                    help="table-gradient strategy (hashgrid.py)")
     return p
 

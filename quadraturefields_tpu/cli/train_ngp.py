@@ -38,8 +38,15 @@ def build_parser():
                    choices=["cube", "tet"],
                    help="hash-grid interpolation (hashgrid.py)")
     p.add_argument("--grad_mode", type=str, default="auto",
-                   choices=["auto", "exact", "dedup", "stochastic"],
+                   choices=["auto", "exact", "sorted", "dedup",
+                            "stochastic"],
                    help="table-gradient strategy (hashgrid.py)")
+    p.add_argument("--scene_type", type=str, default="auto",
+                   choices=["auto", "synthetic", "360"],
+                   help="force the scene family (auto: 360 scene names "
+                        "select the unbounded path, utils.py:37-45)")
+    p.add_argument("--data_factor", type=int, default=4,
+                   help="360 loader image downsample factor")
     return p
 
 
@@ -65,6 +72,8 @@ def main(argv=None):
         scale=args.scale,
         save_images=args.save_images,
         coarse_factor=args.coarse_factor,
+        scene_type=args.scene_type,
+        data_factor=args.data_factor,
     )
     trainer = Stage1Trainer(cfg)
     metrics = trainer.train()

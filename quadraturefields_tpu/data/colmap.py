@@ -183,12 +183,14 @@ class SceneManager:
                         iid, qvec, tvec, cam_id, name.decode()
                     )
         else:
+            # two lines per image: pose line + observations line; the
+            # observations line may be EMPTY (image with no 2D points),
+            # so pairing must keep blank lines (only comments dropped)
             with open(txt_path) as f:
-                lines = [
-                    ln for ln in f
-                    if not ln.startswith("#") and ln.strip()
-                ]
+                lines = [ln for ln in f if not ln.startswith("#")]
             for i in range(0, len(lines), 2):
+                if not lines[i].strip():
+                    continue
                 parts = lines[i].split()
                 iid = int(parts[0])
                 qvec = np.array([float(x) for x in parts[1:5]])

@@ -106,3 +106,22 @@ def normalize_aabb(x, aabb):
     y = (x - aabb_min) / (aabb_max - aabb_min)
     selector = jnp.all((y > 0.0) & (y < 1.0), axis=-1)
     return selector, y
+
+
+def inv_contract_from_unisphere(y, aabb):
+    """Inverse of contract_to_unisphere: [0,1]^3 -> world coordinates.
+
+    Used by the unbounded occupancy-grid update to place contracted
+    grid cells back into world space for density evaluation (the
+    reference reaches the same effect through nerfacc's multi-level
+    estimator aabbs, train_ngp_nerf_sg_occ.py:174-229).
+    """
+    aabb_min, aabb_max = aabb[..., :3], aabb[..., 3:]
+    xc = (y - 0.5) * 4.0
+    m_c = jnp.linalg.norm(xc, axis=-1, keepdims=True)
+    # |xc| = 2 - 1/m  =>  m = 1/(2 - |xc|)  for the contracted shell
+    m_c_safe = jnp.clip(m_c, 1e-6, 2.0 - 1e-6)
+    m = 1.0 / (2.0 - m_c_safe)
+    x_norm = jnp.where(m_c > 1.0, xc / m_c_safe * m, xc)
+    x01 = (x_norm + 1.0) / 2.0
+    return aabb_min + x01 * (aabb_max - aabb_min)

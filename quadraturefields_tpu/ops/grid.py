@@ -75,13 +75,16 @@ def occ_grid_update(
     key,
     occ_eval_fn: Callable,
     cfg: OccGridConfig,
+    contract_aabb=None,
 ) -> OccGridState:
     """One EMA update. Call every cfg.update_interval steps (the caller
     owns the `step % n == 0` gating, matching update_every_n_steps).
 
     occ_eval_fn(x[world]) -> occupancy value (density * step_size), the
     same contract as the reference (train_ngp_nerf_sg_occ.py:279-288).
-    `step` may be a traced scalar.
+    `step` may be a traced scalar. With `contract_aabb`, the grid cells
+    live in contracted [0,1]^3 and are mapped back to world space for
+    the density eval (the unbounded/360 estimator).
     """
     res = cfg.resolution
     n_cells = res**3
@@ -95,7 +98,18 @@ def occ_grid_update(
 
     def eval_part(part_id):
         idx = jax.lax.dynamic_slice(all_idx, (part_id * part,), (part,))
-        x = _cell_positions(state.aabb, res, idx, key)
+        if contract_aabb is None:
+            x = _cell_positions(state.aabb, res, idx, key)
+        else:
+            from .activations import inv_contract_from_unisphere
+
+            unit = jnp.asarray([0.0, 0.0, 0.0, 1.0, 1.0, 1.0])
+            y = _cell_positions(unit, res, idx, key)
+            # clamp away from the contraction's open boundary
+            y = jnp.clip(y, 1e-4, 1.0 - 1e-4)
+            x = inv_contract_from_unisphere(
+                y, jnp.asarray(contract_aabb)
+            )
         occ = occ_eval_fn(x).reshape(-1)
         return idx, occ
 
@@ -174,6 +188,40 @@ def max_march_steps(aabb, render_step_size: float) -> int:
     return int(np.ceil(diag / render_step_size)) + 1
 
 
+def max_march_steps_cone(
+    near: float, far: float, render_step_size: float, cone_angle: float
+) -> int:
+    """Static step bound for cone (exponential) marching: linear
+    dt-steps until t*cone_angle exceeds dt, then geometric growth
+    (nerfacc's `dt = max(dt0, t*cone_angle)` advance)."""
+    import numpy as np
+
+    if cone_angle <= 0:
+        return int(np.ceil((far - near) / render_step_size)) + 1
+    t_star = max(render_step_size / cone_angle, near)
+    linear = max(0, int(np.ceil((t_star - near) / render_step_size))) + 1
+    geom = int(
+        np.ceil(np.log(far / t_star) / np.log1p(cone_angle))
+    ) + 1 if far > t_star else 0
+    return linear + max(geom, 0) + 1
+
+
+def _cone_t_grid(t_min, dt: float, cone_angle: float, max_steps: int):
+    """Per-ray marching knots [n_rays, max_steps+1]: uniform spacing dt
+    until t*cone_angle > dt, then geometric (1+cone_angle) growth."""
+    i = jnp.arange(max_steps + 1, dtype=jnp.float32)[None, :]
+    if cone_angle <= 0:
+        return t_min[:, None] + i * dt
+    t_star = dt / cone_angle
+    i_star = jnp.ceil(
+        jnp.maximum(t_star - t_min, 0.0) / dt
+    )[:, None]
+    t_lin = t_min[:, None] + i * dt
+    t_at_star = t_min[:, None] + i_star * dt
+    t_geo = t_at_star * jnp.power(1.0 + cone_angle, i - i_star)
+    return jnp.where(i <= i_star, t_lin, t_geo)
+
+
 def occ_grid_sampling(
     state: OccGridState,
     origins,
@@ -188,6 +236,9 @@ def occ_grid_sampling(
     key=None,
     coarse_factor: int = 0,   # >1 enables the two-level march
     max_coarse_hits: int = 0,  # static coarse-hit budget (two-level)
+    cone_angle: float = 0.0,   # >0: exponential step growth (360)
+    contract_aabb=None,        # unbounded: world roi aabb; occupancy
+                               # grid lives in contracted [0,1]^3
 ) -> PackedSamples:
     """Fixed-step masked ray march + global compaction.
 
@@ -200,9 +251,19 @@ def occ_grid_sampling(
     thresholds after the density eval), avoiding a second field query.
     """
     n_rays = origins.shape[0]
-    t_min, t_max, _ = ray_aabb_intersect(origins, viewdirs, state.aabb)
-    t_min = jnp.maximum(t_min, near_plane)
-    t_max = jnp.minimum(t_max, far_plane)
+    if contract_aabb is None:
+        t_min, t_max, _ = ray_aabb_intersect(origins, viewdirs, state.aabb)
+        t_min = jnp.maximum(t_min, near_plane)
+        t_max = jnp.minimum(t_max, far_plane)
+    else:
+        # unbounded scenes have no exit plane: march [near, far]
+        # (reference near=0.2, far=1e2; train_ngp_nerf_sg_occ.py:167-168)
+        t_min = jnp.broadcast_to(
+            jnp.asarray(near_plane, jnp.float32), (n_rays,)
+        )
+        t_max = jnp.broadcast_to(
+            jnp.asarray(far_plane, jnp.float32), (n_rays,)
+        )
     if stratified:
         t_min = t_min + jax.random.uniform(key, (n_rays,)) * render_step_size
 
@@ -213,20 +274,32 @@ def occ_grid_sampling(
     # test grids). The coarse-hit budget defaults to the full sample
     # budget: a dilated coarse hit can contain ZERO valid fine samples,
     # so budget//2 binds long before the fine budget does.
-    if coarse_factor > 1 and state.binaries.shape[0] // coarse_factor >= 32:
+    if (
+        coarse_factor > 1
+        and contract_aabb is None
+        and cone_angle == 0.0
+        and state.binaries.shape[0] // coarse_factor >= 32
+    ):
         return _two_level_march(
             state, origins, viewdirs, t_min, t_max, n_rays,
             render_step_size, max_steps, max_samples_total,
             coarse_factor, max_coarse_hits or max_samples_total,
         )
 
-    steps = jnp.arange(max_steps, dtype=jnp.float32)
-    # [n_rays, max_steps]
-    t0 = t_min[:, None] + steps[None, :] * render_step_size
-    t_mid = t0 + 0.5 * render_step_size
+    knots = _cone_t_grid(t_min, render_step_size, cone_angle, max_steps)
+    t0 = knots[:, :-1]
+    t1 = knots[:, 1:]
+    t_mid = (t0 + t1) * 0.5                        # [n_rays, max_steps]
     in_span = t_mid < t_max[:, None]
     pos = origins[:, None, :] + viewdirs[:, None, :] * t_mid[..., None]
-    occ = occupancy_lookup(state.binaries, state.aabb, pos)
+    if contract_aabb is None:
+        occ = occupancy_lookup(state.binaries, state.aabb, pos)
+    else:
+        from .activations import contract_to_unisphere
+
+        y = contract_to_unisphere(pos, jnp.asarray(contract_aabb))
+        unit = jnp.asarray([0.0, 0.0, 0.0, 1.0, 1.0, 1.0])
+        occ = occupancy_lookup(state.binaries, unit, y)
     mask = in_span & occ
 
     flat_mask = mask.reshape(-1)
@@ -237,10 +310,11 @@ def occ_grid_sampling(
     is_pad = sel >= flat_mask.shape[0]
     sel_safe = jnp.where(is_pad, 0, sel)
     ray_idx = (sel_safe // max_steps).astype(jnp.int32)
-    step_idx = (sel_safe % max_steps).astype(jnp.float32)
+    step_i = sel_safe % max_steps
 
-    ts = t_min[ray_idx] + step_idx * render_step_size
-    te = ts + render_step_size
+    ts = t0.reshape(-1)[jnp.where(is_pad, 0, sel_safe)]
+    te = t1.reshape(-1)[jnp.where(is_pad, 0, sel_safe)]
+    del step_i
 
     ray_idx = jnp.where(is_pad, n_rays, ray_idx)
     ts = jnp.where(is_pad, 0.0, ts)

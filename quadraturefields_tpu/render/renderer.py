@@ -39,7 +39,7 @@ class RenderConfig:
     far_plane: float = 1e10
     alpha_thre: float = 0.0
     early_stop_eps: float = 1e-4
-    cone_angle: float = 0.0  # 0 for synthetic; >0 unsupported yet
+    cone_angle: float = 0.0  # >0: exponential step growth (360)
     max_steps: int = 1024        # static per-ray march length
     max_samples_total: int = 1 << 18  # static packed sample budget
     # two-level march: >1 skips empty space at coarse_factor*dt
@@ -135,6 +135,8 @@ def render_rays_occgrid(
         key=key,
         coarse_factor=rcfg.coarse_factor,
         max_coarse_hits=rcfg.max_coarse_hits,
+        cone_angle=rcfg.cone_angle,
+        contract_aabb=aabb if ngp_cfg.unbounded else None,
     )
     pos, dirs, _ = _sample_positions(samples, origins, viewdirs, n_rays)
     rgbs, sigmas = ngp_forward(ngp_params, pos, dirs, aabb, ngp_cfg)
@@ -200,6 +202,8 @@ def render_rays_field(
         key=key,
         coarse_factor=rcfg.coarse_factor,
         max_coarse_hits=rcfg.max_coarse_hits,
+        cone_angle=rcfg.cone_angle,
+        contract_aabb=aabb if ngp_cfg.unbounded else None,
     )
     pos, dirs, _ = _sample_positions(samples, origins, viewdirs, n_rays)
     rgbs, sigmas = ngp_forward(ngp_params, pos, dirs, aabb, ngp_cfg)

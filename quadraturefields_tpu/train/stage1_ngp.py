@@ -29,12 +29,19 @@ from ..ops.grid import (
     occ_grid_init,
     occ_grid_update,
     max_march_steps,
+    max_march_steps_cone,
 )
 from ..render.renderer import RenderConfig, render_rays_occgrid
 from ..utils.batching import bucket_num_rays
 from ..utils.checkpoint import save_checkpoint
-from ..utils.metrics import mse, psnr, smooth_l1_loss, ssim
+from ..utils.metrics import lpips_metric, mse, psnr, smooth_l1_loss, ssim
 from ..utils.optim import make_ngp_optimizer
+
+
+# reference scene-type switch (examples/utils.py:30-45)
+MIPNERF360_UNBOUNDED_SCENES = (
+    "garden", "bicycle", "bonsai", "counter", "kitchen", "room", "stump",
+)
 
 
 @dataclasses.dataclass
@@ -75,6 +82,16 @@ class Stage1Config:
     save_images: bool = False
     # optional jax.sharding.NamedSharding to shard the ray batch (DP)
     data_sharding: object = None
+    # unbounded/360: "auto" switches on MIPNERF360_UNBOUNDED_SCENES
+    # (reference examples/utils.py:37-45); "360"/"synthetic" force it
+    scene_type: str = "auto"
+    data_factor: int = 4      # 360 loader downsample factor
+
+    @property
+    def is_unbounded(self) -> bool:
+        if self.scene_type == "auto":
+            return self.scene in MIPNERF360_UNBOUNDED_SCENES
+        return self.scene_type == "360"
 
     @property
     def target_sample_batch_size(self) -> int:
@@ -82,13 +99,39 @@ class Stage1Config:
 
     @property
     def aabb(self) -> np.ndarray:
+        if self.is_unbounded:
+            # reference train_ngp_nerf_sg_occ.py:166
+            return np.array([-1, -1, -1, 1, 1, 1], np.float32)
         return np.array([-1, -1, -1, 1, 1, 1], np.float32) * self.scale
+
+    # the reference's per-scene-type render knobs
+    # (train_ngp_nerf_sg_occ.py:157-204)
+    @property
+    def eff_render_step_size(self) -> float:
+        return 1e-3 if self.is_unbounded else self.render_step_size
+
+    @property
+    def eff_near_plane(self) -> float:
+        return 0.2 if self.is_unbounded else self.near_plane
+
+    @property
+    def eff_far_plane(self) -> float:
+        return 1e2 if self.is_unbounded else 1e10
+
+    @property
+    def eff_alpha_thre(self) -> float:
+        return 1e-2 if self.is_unbounded else self.alpha_thre
+
+    @property
+    def eff_cone_angle(self) -> float:
+        return 0.004 if self.is_unbounded else 0.0
 
     def ngp_config(self) -> NGPConfig:
         head = "sg" if self.num_lobes > 0 else "mlp"
         return NGPConfig(
             head=head,
             use_viewdirs=False,
+            unbounded=self.is_unbounded,
             num_g_lobes=self.num_lobes,
             num_layers=self.num_layers,
             log2_hashmap_size=self.log2_hashmap_size,
@@ -98,13 +141,24 @@ class Stage1Config:
         )
 
     def render_config(self) -> RenderConfig:
+        if self.is_unbounded:
+            max_steps = max_march_steps_cone(
+                self.eff_near_plane, self.eff_far_plane,
+                self.eff_render_step_size, self.eff_cone_angle,
+            )
+        else:
+            max_steps = max_march_steps(
+                self.aabb, self.eff_render_step_size
+            )
         return RenderConfig(
-            render_step_size=self.render_step_size,
-            near_plane=self.near_plane,
-            alpha_thre=self.alpha_thre,
-            max_steps=max_march_steps(self.aabb, self.render_step_size),
+            render_step_size=self.eff_render_step_size,
+            near_plane=self.eff_near_plane,
+            far_plane=self.eff_far_plane,
+            alpha_thre=self.eff_alpha_thre,
+            cone_angle=self.eff_cone_angle,
+            max_steps=max_steps,
             max_samples_total=self.target_sample_batch_size,
-            coarse_factor=self.coarse_factor,
+            coarse_factor=0 if self.is_unbounded else self.coarse_factor,
         )
 
 
@@ -155,19 +209,41 @@ class Stage1Trainer:
         )
         self.aabb = jnp.asarray(cfg.aabb)
 
-        self.train_dataset = train_dataset or SubjectLoader(
-            subject_id=cfg.scene,
-            root_fp=cfg.data_root,
-            split=cfg.train_split,
-            num_rays=cfg.init_batch_size,
-            seed=cfg.seed,
-        )
-        self.test_dataset = test_dataset or SubjectLoader(
-            subject_id=cfg.scene,
-            root_fp=cfg.data_root,
-            split="test",
-            num_rays=None,
-        )
+        if cfg.is_unbounded:
+            # 360 loader + knobs from the reference unbounded branch
+            # (train_ngp_nerf_sg_occ.py:157-180)
+            from ..data.nerf_360_v2 import SubjectLoader as Loader360
+
+            self.train_dataset = train_dataset or Loader360(
+                subject_id=cfg.scene,
+                root_fp=cfg.data_root,
+                split=cfg.train_split,
+                num_rays=10,
+                color_bkgd_aug="random",
+                factor=cfg.data_factor,
+                seed=cfg.seed,
+            )
+            self.test_dataset = test_dataset or Loader360(
+                subject_id=cfg.scene,
+                root_fp=cfg.data_root,
+                split="test",
+                num_rays=None,
+                factor=cfg.data_factor,
+            )
+        else:
+            self.train_dataset = train_dataset or SubjectLoader(
+                subject_id=cfg.scene,
+                root_fp=cfg.data_root,
+                split=cfg.train_split,
+                num_rays=cfg.init_batch_size,
+                seed=cfg.seed,
+            )
+            self.test_dataset = test_dataset or SubjectLoader(
+                subject_id=cfg.scene,
+                root_fp=cfg.data_root,
+                split="test",
+                num_rays=None,
+            )
 
         key = jax.random.PRNGKey(cfg.seed)
         self.key, init_key = jax.random.split(key)
@@ -175,7 +251,14 @@ class Stage1Trainer:
         self.occ_state = occ_grid_init(self.aabb, self.occ_cfg)
         wd = cfg.weight_decay
         if wd is None:
-            wd = 1e-5 if cfg.scene in ("materials", "ficus", "drums") else 1e-6
+            if cfg.is_unbounded:
+                wd = 0.0  # reference train_ngp_nerf_sg_occ.py:164
+            else:
+                wd = (
+                    1e-5
+                    if cfg.scene in ("materials", "ficus", "drums")
+                    else 1e-6
+                )
         self.optimizer = make_ngp_optimizer(
             cfg.max_steps, lr=cfg.lr, weight_decay=wd
         )
@@ -193,7 +276,8 @@ class Stage1Trainer:
             return d[..., 0] * self.rcfg.render_step_size
 
         return occ_grid_update(
-            occ_state, step, key, occ_eval_fn, self.occ_cfg
+            occ_state, step, key, occ_eval_fn, self.occ_cfg,
+            contract_aabb=self.aabb if self.cfg.is_unbounded else None,
         )
 
     def _loss_fn(self, params, occ_state, origins, viewdirs, pixels,
@@ -334,7 +418,7 @@ class Stage1Trainer:
         n_views = len(self.test_dataset)
         if cfg.eval_views is not None:
             n_views = min(n_views, cfg.eval_views)
-        psnrs, ssims = [], []
+        psnrs, ssims, lpipss = [], [], []
         H, W = self.test_dataset.HEIGHT, self.test_dataset.WIDTH
         for i in range(n_views):
             data = self.test_dataset.fetch_eval_view(i)
@@ -343,6 +427,7 @@ class Stage1Trainer:
             rgb_img = rgb.reshape(H, W, 3)
             psnrs.append(float(psnr(jnp.asarray(rgb_img), jnp.asarray(pixels))))
             ssims.append(float(ssim(jnp.asarray(rgb_img), jnp.asarray(pixels))))
+            lpipss.append(lpips_metric(rgb_img, pixels))
             if cfg.save_images and out_dir is not None:
                 import imageio.v2 as imageio
 
@@ -360,6 +445,7 @@ class Stage1Trainer:
         return {
             "psnr": float(np.mean(psnrs)),
             "ssim": float(np.mean(ssims)),
+            "lpips": float(np.mean(lpipss)),
         }
 
     @staticmethod

@@ -47,7 +47,7 @@ from ..render.quadrature import (
 from ..render.renderer import RenderConfig, render_rays_occgrid
 from ..utils.batching import bucket_num_rays
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
-from ..utils.metrics import psnr, smooth_l1_loss, ssim
+from ..utils.metrics import lpips_metric, psnr, smooth_l1_loss, ssim
 from ..utils.optim import reference_lr_schedule
 
 
@@ -415,7 +415,7 @@ class Stage4Trainer:
             n = min(n, n_views)
         H, W = dataset.HEIGHT, dataset.WIDTH
         h, w = H // cfg.up_sample, W // cfg.up_sample
-        psnrs, ssims = [], []
+        psnrs, ssims, lpipss = [], [], []
         for i in range(n):
             data = dataset.fetch_eval_view(i)
             rgb = self.render_view(data).reshape(H, W, 3)
@@ -424,7 +424,12 @@ class Stage4Trainer:
             pixels = data["pixels"].reshape(h, w, 3)
             psnrs.append(float(psnr(jnp.asarray(rgb), jnp.asarray(pixels))))
             ssims.append(float(ssim(jnp.asarray(rgb), jnp.asarray(pixels))))
-        return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims))}
+            lpipss.append(lpips_metric(rgb, pixels))
+        return {
+            "psnr": float(np.mean(psnrs)),
+            "ssim": float(np.mean(ssims)),
+            "lpips": float(np.mean(lpipss)),
+        }
 
     def train(self, log_fn=print):
         cfg = self.cfg

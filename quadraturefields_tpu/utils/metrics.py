@@ -63,3 +63,22 @@ def ssim(img0, img1, max_val: float = 1.0, kernel_size=11, sigma=1.5):
     num = (2 * mu01 + c1) * (2 * s01 + c2)
     den = (mu00 + mu11 + c1) * (s00 + s11 + c2)
     return jnp.mean(num / den)
+
+
+_LPIPS_SINGLETON = None
+
+
+def lpips_metric(img0, img1):
+    """LPIPS(VGG) between [H, W, 3] images in [0, 1]; NaN when no
+    weights are installed (see utils/lpips.py and
+    tools/convert_lpips_weights.py). The reference reports LPIPS from
+    every trainer (train_ngp_nerf_sg_occ.py:262-264,
+    test_baking_texture_images.py:412-429); this helper keeps the
+    metric plumbing identical with or without the weight file.
+    """
+    global _LPIPS_SINGLETON
+    if _LPIPS_SINGLETON is None:
+        from .lpips import LPIPS
+
+        _LPIPS_SINGLETON = LPIPS()
+    return float(_LPIPS_SINGLETON(img0, img1))
