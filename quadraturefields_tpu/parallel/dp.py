@@ -30,6 +30,15 @@ from ..render.renderer import RenderConfig, render_rays_occgrid
 from ..utils.metrics import smooth_l1_loss
 
 
+def _tree_weighted_psum(tree, w, axis):
+    """psum of w-scaled leaves: combines per-shard means whose true
+    denominators differ (valid-sample counts) into the exact global
+    mean — Σ_s (n_s/n_tot)·mean_s == global masked mean."""
+    return jax.tree_util.tree_map(
+        lambda g: jax.lax.psum(g * w, axis), tree
+    )
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
@@ -45,6 +54,7 @@ def make_dp_train_step(
     optimizer: optax.GradientTransformation,
     o_lambda: float = 1e-3,
     axis: str = "data",
+    stratified: bool = True,
 ):
     """Returns train_step(params, opt_state, occ_state, origins,
     viewdirs, pixels, bkgd, key) -> (params, opt_state, loss).
@@ -67,7 +77,7 @@ def make_dp_train_step(
     def local_loss(params, occ_state, origins, viewdirs, pixels, bkgd, key):
         result = render_rays_occgrid(
             params, aabb, ngp_cfg, occ_state, origins, viewdirs,
-            local_rcfg, render_bkgd=bkgd, stratified=True, key=key,
+            local_rcfg, render_bkgd=bkgd, stratified=stratified, key=key,
         )
         rgb_loss = smooth_l1_loss(result.rgb, pixels)
         acc = result.opacity[:, 0]
@@ -102,5 +112,294 @@ def make_dp_train_step(
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
+
+    return train_step
+
+
+def make_dp_field_train_step(
+    mesh: Mesh,
+    aabb,
+    ngp_cfg: NGPConfig,
+    field_cfg,
+    rcfg: RenderConfig,
+    optimizer: optax.GradientTransformation,
+    axis: str = "data",
+    stratified: bool = True,
+):
+    """Stage-2 (field distillation) DP step: each chip renders its ray
+    shard with the frozen NGP (fwd+rev weights), evaluates the field
+    gradient at its local samples, and the field-loss gradients combine
+    with valid-count weighting (field_loss is a masked mean, so the
+    weighted psum reproduces the exact global mean; see
+    train/stage2_field.py and reference train_field.py:330-360).
+
+    Returns train_step(field_params, opt_state, ngp_params, occ_state,
+    origins, viewdirs, bkgd, key) -> (field_params, opt_state, loss,
+    num_valid_total).
+    """
+    from ..models.field import field_loss, field_with_grad
+    from ..models.ngp import ngp_normalize
+    from ..render.renderer import render_rays_field
+
+    n_dev = mesh.devices.size
+    local_rcfg = RenderConfig(
+        **{
+            **rcfg.__dict__,
+            "max_samples_total": max(256, rcfg.max_samples_total // n_dev),
+        }
+    )
+
+    def local_loss(field_params, ngp_params, occ_state, origins,
+                   viewdirs, bkgd, key):
+        res = render_rays_field(
+            ngp_params, aabb, ngp_cfg, occ_state, origins, viewdirs,
+            local_rcfg, render_bkgd=bkgd, stratified=stratified, key=key,
+        )
+        _, pos01 = ngp_normalize(res.positions, aabb, ngp_cfg)
+        positions = jax.lax.stop_gradient(pos01 - 0.5)
+
+        def loss_fn(fp):
+            _, fgrad = field_with_grad(fp, positions, field_cfg)
+            return field_loss(
+                res.weights, res.weights_rev, fgrad, res.dirs,
+                mask=res.valid,
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(field_params)
+        # field_loss divides by sum(valid) locally: weight by it
+        return loss, grads, jnp.sum(res.valid).astype(jnp.float32)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis), P(), P()),
+        out_specs=(P(), P(), P()),
+    )
+    def sharded(field_params, ngp_params, occ_state, origins, viewdirs,
+                bkgd, key):
+        if stratified:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        loss, grads, n_local = local_loss(
+            field_params, ngp_params, occ_state, origins, viewdirs,
+            bkgd, key,
+        )
+        n_total = jnp.maximum(jax.lax.psum(n_local, axis), 1.0)
+        w = n_local / n_total
+        return (
+            jax.lax.psum(loss * w, axis),
+            _tree_weighted_psum(grads, w, axis),
+            jax.lax.psum(n_local, axis),
+        )
+
+    @jax.jit
+    def train_step(field_params, opt_state, ngp_params, occ_state,
+                   origins, viewdirs, bkgd, key):
+        loss, grads, nv = sharded(
+            field_params, ngp_params, occ_state, origins, viewdirs,
+            bkgd, key,
+        )
+        updates, opt_state = optimizer.update(
+            grads, opt_state, field_params
+        )
+        field_params = optax.apply_updates(field_params, updates)
+        return field_params, opt_state, loss, nv
+
+    return train_step
+
+
+def make_dp_fit_sg_train_step(
+    mesh: Mesh,
+    aabb,
+    sg_cfg,
+    teacher_cfg,
+    optimizer: optax.GradientTransformation,
+    render_step_size: float,
+    axis: str = "data",
+):
+    """Stage-5 (SG fit at mesh hits) DP step. All inputs are per-ray
+    rows ([R] / [R,H]), so every chip composites its own shard with the
+    frozen teacher and the smooth-l1 ray mean combines with a plain
+    pmean (equal shard sizes). See train/stage5_fit_sg.py.
+
+    Returns train_step(sg_params, opt_state, teacher_params, origins,
+    viewdirs, pixels, bkgd, tri_ids, ts, valid) ->
+    (sg_params, opt_state, loss, n_hits_total).
+    """
+    from ..models.ngp import ngp_forward
+    from ..render.quadrature import HitRows, render_fit_sg_rows
+
+    def local_loss(sg_params, teacher_params, origins, viewdirs, pixels,
+                   bkgd, tri_ids, ts, valid):
+        hits = HitRows(tri_ids=tri_ids, ts=ts, valid=valid)
+        rgb, _, _, _ = render_fit_sg_rows(
+            sg_params, teacher_params, hits, origins, viewdirs,
+            aabb, sg_cfg, teacher_cfg,
+            ngp_forward_fn=lambda p, x, d, a, c: (
+                lambda r: (r[0], r[1][..., 0])
+            )(ngp_forward(p, x, d, a, c)),
+            render_step_size=render_step_size,
+            bg_color="random",
+            render_bkgd=bkgd,
+        )
+        return smooth_l1_loss(rgb, pixels), jnp.sum(valid)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(axis), P(axis), P(axis), P(),
+            P(axis), P(axis), P(axis),
+        ),
+        out_specs=(P(), P(), P()),
+    )
+    def sharded(sg_params, teacher_params, origins, viewdirs, pixels,
+                bkgd, tri_ids, ts, valid):
+        (loss, n_hits), grads = jax.value_and_grad(
+            local_loss, has_aux=True
+        )(sg_params, teacher_params, origins, viewdirs, pixels, bkgd,
+          tri_ids, ts, valid)
+        return (
+            jax.lax.pmean(loss, axis),
+            jax.lax.pmean(grads, axis),
+            jax.lax.psum(n_hits, axis),
+        )
+
+    @jax.jit
+    def train_step(sg_params, opt_state, teacher_params, origins,
+                   viewdirs, pixels, bkgd, tri_ids, ts, valid):
+        loss, grads, n_hits = sharded(
+            sg_params, teacher_params, origins, viewdirs, pixels, bkgd,
+            tri_ids, ts, valid,
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, sg_params)
+        sg_params = optax.apply_updates(sg_params, updates)
+        return sg_params, opt_state, loss, n_hits
+
+    return train_step
+
+
+def make_dp_finetune_train_step(
+    mesh: Mesh,
+    aabb,
+    ngp_cfg: NGPConfig,
+    field_cfg,
+    rcfg: RenderConfig,
+    optimizer: optax.GradientTransformation,
+    n_faces: int,
+    scaling: float,
+    render_step_size: float,
+    freeze_rf: bool = False,
+    axis: str = "data",
+    stratified: bool = True,
+):
+    """Stage-4 (joint finetune) DP step: per-shard quadrature render at
+    mesh hits + volumetric render, pmean'd dual loss; the per-face
+    deformation accumulators (segment sums over the WHOLE face set) are
+    psum'd so every chip holds the same replicated cache — the stage-4
+    analog of the reference's single-GPU torch_scatter accumulation
+    (mesh_utils.py:126-133). See train/stage4_finetune.py.
+
+    Returns train_step(params, opt_state, occ_state, cache_d, cache_w,
+    origins, viewdirs, pixels, bkgd, tri_ids, ts, valid, face_vertices,
+    key) -> (params, opt_state, cache_d, cache_w, loss, n_hits_total).
+    """
+    from ..models.field import field_apply
+    from ..models.ngp import ngp_forward
+    from ..render.quadrature import (
+        HitRows,
+        mesh_accumulate_deformation,
+        render_finetune_rows,
+    )
+
+    n_dev = mesh.devices.size
+    local_rcfg = RenderConfig(
+        **{
+            **rcfg.__dict__,
+            "max_samples_total": max(256, rcfg.max_samples_total // n_dev),
+        }
+    )
+
+    def local_loss(params, occ_state, origins, viewdirs, pixels, bkgd,
+                   tri_ids, ts, valid, face_vertices, bary_u, key):
+        hits = HitRows(tri_ids=tri_ids, ts=ts, valid=valid)
+        out = render_finetune_rows(
+            params["rf"], params["field"], hits, origins, viewdirs,
+            face_vertices, aabb, ngp_cfg, field_cfg,
+            ngp_forward_fn=lambda p, x, d, a, c: (
+                lambda r: (r[0], r[1][..., 0])
+            )(ngp_forward(p, x, d, a, c)),
+            field_apply_fn=field_apply,
+            scaling=scaling,
+            render_step_size=render_step_size,
+            bg_color="random",
+            render_bkgd=bkgd,
+            key=key,
+            bary_uniforms=bary_u,
+            stop_gradient_rf=freeze_rf,
+        )
+        rf_params = (
+            jax.tree_util.tree_map(jax.lax.stop_gradient, params["rf"])
+            if freeze_rf else params["rf"]
+        )
+        vol = render_rays_occgrid(
+            rf_params, aabb, ngp_cfg, occ_state, origins, viewdirs,
+            local_rcfg, render_bkgd=bkgd, stratified=stratified, key=key,
+        )
+        loss = (
+            smooth_l1_loss(out["rgb"], pixels)
+            + smooth_l1_loss(vol.rgb, pixels)
+        ) / 2.0 + out["reg"]
+        aux = {k: out[k] for k in
+               ("weights", "tri_ids", "valid", "dh", "n_hits")}
+        return loss, aux
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(axis), P(axis), P(axis), P(),
+            P(axis), P(axis), P(axis), P(axis), P(axis), P(),
+        ),
+        out_specs=(P(), P(), P(), P(), P()),
+    )
+    def sharded(params, occ_state, origins, viewdirs, pixels, bkgd,
+                tri_ids, ts, valid, face_vertices, bary_u, key):
+        if stratified:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        (loss, aux), grads = jax.value_and_grad(
+            local_loss, has_aux=True
+        )(params, occ_state, origins, viewdirs, pixels, bkgd,
+          tri_ids, ts, valid, face_vertices, bary_u, key)
+        add_d, add_w = mesh_accumulate_deformation(
+            jnp.zeros((n_faces, 3), jnp.float32),
+            jnp.zeros((n_faces,), jnp.float32),
+            aux["dh"], aux["weights"], aux["tri_ids"], aux["valid"],
+            n_faces,
+        )
+        return (
+            jax.lax.pmean(loss, axis),
+            jax.lax.pmean(grads, axis),
+            jax.lax.psum(add_d, axis),
+            jax.lax.psum(add_w, axis),
+            jax.lax.psum(aux["n_hits"], axis),
+        )
+
+    @jax.jit
+    def train_step(params, opt_state, occ_state, cache_d, cache_w,
+                   origins, viewdirs, pixels, bkgd, tri_ids, ts, valid,
+                   face_vertices, key):
+        # barycentric jitter drawn at GLOBAL batch shape, then sharded:
+        # identical draws however the ray batch is split across chips
+        bary_u = jax.random.uniform(
+            jax.random.fold_in(key, 1), ts.shape + (3,)
+        )
+        loss, grads, add_d, add_w, n_hits = sharded(
+            params, occ_state, origins, viewdirs, pixels, bkgd,
+            tri_ids, ts, valid, face_vertices, bary_u, key,
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, cache_d + add_d, cache_w + add_w,
+                loss, n_hits)
 
     return train_step

@@ -82,12 +82,16 @@ def apply_row_permutation(order, *arrays):
     return tuple(out)
 
 
-def random_barycentric_vertices(key, tri_vertices):
+def random_barycentric_vertices(key, tri_vertices, uniforms=None):
     """Random convex combination of each hit triangle's vertices
     (reference utils.py:543-546: weights ~ U[0,1]^3, normalized).
 
-    tri_vertices: [..., 3, 3]."""
-    w = jax.random.uniform(key, tri_vertices.shape[:-1])[..., None]
+    tri_vertices: [..., 3, 3]. `uniforms` ([..., 3]) overrides the key
+    draw — the DP path draws them at global batch shape so the jitter
+    is identical however the ray batch is sharded."""
+    if uniforms is None:
+        uniforms = jax.random.uniform(key, tri_vertices.shape[:-1])
+    w = uniforms[..., None]
     return jnp.sum(tri_vertices * w, axis=-2) / (
         jnp.sum(w, axis=-2) + 1e-6
     )
@@ -111,6 +115,7 @@ def render_finetune_rows(
     bg_color: str = "white",
     render_bkgd=None,
     key=None,
+    bary_uniforms=None,  # [R, H, 3] overrides the key draw (DP path)
     stop_gradient_rf: bool = False,
 ):
     """Stage-4 forward: deform hits along rays by the (scalar) field,
@@ -139,7 +144,9 @@ def render_finetune_rows(
     del_delta = jnp.sum(del_vector3 * dirs, axis=-1)  # [R, H]
 
     # deformation at random barycentric vertex samples (vertex reg)
-    v_samples = random_barycentric_vertices(key, face_vertices)
+    v_samples = random_barycentric_vertices(
+        key, face_vertices, uniforms=bary_uniforms
+    )
     del_scalar_v = field_apply_fn(
         field_params, flat(v_samples), field_cfg
     ).reshape(R, H)

