@@ -23,6 +23,115 @@ from ..geometry.meshio import Mesh
 from ..geometry.native import _f32p, _get_lib, _i32p
 
 
+def _face_normals(mesh: Mesh) -> np.ndarray:
+    v, f = mesh.vertices, mesh.faces
+    n = np.cross(
+        v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]]
+    ).astype(np.float64)
+    ln = np.linalg.norm(n, axis=1, keepdims=True)
+    return n / np.maximum(ln, 1e-12)
+
+
+def _split_connected_components(faces: np.ndarray, sel: np.ndarray):
+    """Partition the selected faces into edge-connected components
+    (union-find over shared undirected edges). Returns a list of
+    index arrays into `sel`."""
+    f = faces[sel]
+    edges = np.concatenate(
+        [f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]], axis=0
+    )
+    edges = np.sort(edges, axis=1)
+    face_of_edge = np.tile(np.arange(f.shape[0]), 3)
+    order = np.lexsort((edges[:, 1], edges[:, 0]))
+    edges_s, faces_s = edges[order], face_of_edge[order]
+    same = np.all(edges_s[1:] == edges_s[:-1], axis=1)
+
+    parent = np.arange(f.shape[0])
+
+    def find(a):
+        root = a
+        while parent[root] != root:
+            root = parent[root]
+        while parent[a] != root:
+            parent[a], a = root, parent[a]
+        return root
+
+    for i in np.where(same)[0]:
+        ra, rb = find(faces_s[i]), find(faces_s[i + 1])
+        if ra != rb:
+            parent[rb] = ra
+    roots = np.array([find(i) for i in range(f.shape[0])])
+    comps = [np.where(roots == r)[0] for r in np.unique(roots)]
+    return comps
+
+
+def split_folded_segments(
+    mesh: Mesh,
+    face_segments: np.ndarray,
+    cos_thres: float = 0.5,
+    max_rounds: int = 16,
+) -> np.ndarray:
+    """Refine a face segmentation until every segment is safe to
+    PCA-plane-project (VERDICT #6; the reference gets the equivalent
+    guarantee from xatlas's chart generator, which splits charts on
+    normal deviation — generate_uv_xatlas_old.py:49-94 ChartOptions):
+
+      1. each segment must be one edge-connected component (two
+         disconnected near-parallel sheets would overlap in projection);
+      2. each segment's face normals must lie inside a cone:
+         min dot(n_face, mean_normal) >= cos_thres (default 60 deg) —
+         a folded/curved patch maps two surface points to one texel.
+
+    Cone violators split along the dominant normal-spread axis
+    (SVD of centered normals), recursively up to max_rounds.
+    """
+    segs = np.asarray(face_segments).astype(np.int64).copy()
+    normals = _face_normals(mesh)
+    next_label = int(segs.max()) + 1 if segs.size else 0
+
+    # connectivity first (once; normal splits below never reconnect)
+    for lab in np.unique(segs):
+        sel = np.where(segs == lab)[0]
+        comps = _split_connected_components(mesh.faces, sel)
+        for comp in comps[1:]:
+            segs[sel[comp]] = next_label
+            next_label += 1
+
+    for _ in range(max_rounds):
+        changed = False
+        for lab in np.unique(segs):
+            sel = np.where(segs == lab)[0]
+            if sel.size <= 1:
+                continue
+            n = normals[sel]
+            mean = n.mean(0)
+            norm = np.linalg.norm(mean)
+            if norm > 1e-9:
+                mean = mean / norm
+                dots = n @ mean
+                if dots.min() >= cos_thres:
+                    continue
+            else:  # antipodal normal set: always split
+                dots = n @ n[0]
+            centered = n - n.mean(0)
+            _, _, vt = np.linalg.svd(centered, full_matrices=False)
+            side = centered @ vt[0] >= 0
+            if side.all() or not side.any():
+                side = dots < np.median(dots)
+            if side.all() or not side.any():
+                continue  # identical normals yet cone fails: give up
+            # each half may disconnect: re-split by connectivity
+            for half in (sel[side], sel[~side]):
+                comps = _split_connected_components(mesh.faces, half)
+                for comp in comps:
+                    segs[half[comp]] = next_label
+                    next_label += 1
+            changed = True
+        if not changed:
+            break
+    return segs
+
+
 def _segment_charts(mesh: Mesh, face_segments: np.ndarray):
     """Split into per-segment submeshes with local vertex indexing and
     plane-projected 2-D coords."""
@@ -86,10 +195,18 @@ def build_uv_atlas(
     texture_size: int,
     padding: float = 2.0,
     init_ratio: float = 0.6,
+    fold_split: bool = True,
+    fold_cos_thres: float = 0.5,
 ):
     """-> (atlas_mesh, uv [V,2] texel coords). Vertices are duplicated
-    per chart (seam-free charts, like xatlas vmapping)."""
+    per chart (seam-free charts, like xatlas vmapping). `fold_split`
+    refines the segmentation so every chart projects injectively
+    (split_folded_segments)."""
     face_segments = np.asarray(face_segments).copy()
+    if fold_split:
+        face_segments = split_folded_segments(
+            mesh, face_segments, cos_thres=fold_cos_thres
+        )
     # Feasibility guard: each chart costs at least (2p+2)^2 texels; if
     # the segmentation produced more charts than fit, fold the smallest
     # segments into one catch-all chart (degrades those charts' texel

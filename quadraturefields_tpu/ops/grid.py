@@ -222,6 +222,22 @@ def _cone_t_grid(t_min, dt: float, cone_angle: float, max_steps: int):
     return jnp.where(i <= i_star, t_lin, t_geo)
 
 
+def compact_indices(flat_mask, size: int):
+    """Ordered indices of True entries, padded with n (== the fill
+    convention of jnp.nonzero(size=size, fill_value=n)).
+
+    Implemented as ONE lax.sort of iota-where-valid keys: on TPU a
+    2-4M-element i32 sort runs in single-digit ms while nonzero's
+    cumsum+scatter lowering pays the ~13 ns/element scalar-scatter
+    floor (PERF_NOTES.md) — the march compactions were 2x cheaper
+    under sort at bench scale.
+    """
+    n = flat_mask.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    keys = jnp.where(flat_mask, iota, jnp.int32(n))
+    return jax.lax.sort(keys)[:size]
+
+
 def occ_grid_sampling(
     state: OccGridState,
     origins,
@@ -304,9 +320,7 @@ def occ_grid_sampling(
 
     flat_mask = mask.reshape(-1)
     num_valid = jnp.sum(flat_mask, dtype=jnp.int32)
-    (sel,) = jnp.nonzero(
-        flat_mask, size=max_samples_total, fill_value=flat_mask.shape[0]
-    )
+    sel = compact_indices(flat_mask, max_samples_total)
     is_pad = sel >= flat_mask.shape[0]
     sel_safe = jnp.where(is_pad, 0, sel)
     ray_idx = (sel_safe // max_steps).astype(jnp.int32)
@@ -370,9 +384,7 @@ def _two_level_march(
     mask_c = in_span_c & occ_c
 
     flat_c = mask_c.reshape(-1)
-    (sel_c,) = jnp.nonzero(
-        flat_c, size=max_coarse_hits, fill_value=flat_c.shape[0]
-    )
+    sel_c = compact_indices(flat_c, max_coarse_hits)
     pad_c = sel_c >= flat_c.shape[0]
     sel_c_safe = jnp.where(pad_c, 0, sel_c)
     ray_c = (sel_c_safe // coarse_steps).astype(jnp.int32)
@@ -402,9 +414,7 @@ def _two_level_march(
         num_coarse.astype(jnp.float32) / float(max_coarse_hits), 1.0
     )
     num_valid = (num_valid.astype(jnp.float32) * ratio).astype(jnp.int32)
-    (sel_f,) = jnp.nonzero(
-        flat_f, size=max_samples_total, fill_value=flat_f.shape[0]
-    )
+    sel_f = compact_indices(flat_f, max_samples_total)
     pad_f = sel_f >= flat_f.shape[0]
     sel_f_safe = jnp.where(pad_f, 0, sel_f)
     ci = sel_f_safe // cf

@@ -253,14 +253,18 @@ def make_test_renderer(
     over a fixed t-window per ray (cursor += window_steps * dt); the
     host loop stops when every ray has terminated or left the AABB.
 
-    Returns render_fn(occ_state, origins, viewdirs) -> (rgb, opacity,
-    depth, total_samples) for a fixed-size ray chunk.
+    Returns render_fn(occ_state, origins, viewdirs, ...) -> (rgb,
+    opacity, depth, total_samples) for a fixed-size ray chunk.
+    `ngp_params` here only seeds the default; render_fn accepts a
+    `params=` override so trainers can reuse one jitted window fn as
+    parameters evolve (recompiling per evaluate() call would dominate
+    eval time on the remote-compile toolchain).
     """
     dt = rcfg.render_step_size
 
     @jax.jit
-    def window(occ_state, origins, viewdirs, near_planes, rgb, opacity,
-               depth, alive):
+    def window(ngp_params, occ_state, origins, viewdirs, near_planes,
+               rgb, opacity, depth, alive):
         n_rays = origins.shape[0]
         # cursors advance monotonically even for dead rays (a reset
         # would resurrect them and re-composite the span)
@@ -310,9 +314,10 @@ def make_test_renderer(
         return near_planes, rgb, opacity, depth, alive, jnp.sum(in_window)
 
     def render_fn(occ_state, origins, viewdirs, render_bkgd=None,
-                  max_windows: int = 64):
+                  max_windows: int = 64, params=None):
         import numpy as np
 
+        params = ngp_params if params is None else params
         n_rays = origins.shape[0]
         # anchor each ray's cursor at its AABB entry so window samples
         # land on the same t-grid as the one-shot renderer
@@ -329,8 +334,8 @@ def make_test_renderer(
         total = 0
         for _ in range(max_windows):
             near, rgb, opacity, depth, alive, ns = window(
-                occ_state, origins, viewdirs, near, rgb, opacity, depth,
-                alive,
+                params, occ_state, origins, viewdirs, near, rgb,
+                opacity, depth, alive,
             )
             total += int(ns)
             if not bool(jnp.any(alive)):

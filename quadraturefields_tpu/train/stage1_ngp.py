@@ -71,6 +71,13 @@ class Stage1Config:
     near_plane: float = 0.0
     alpha_thre: float = 0.0
     eval_chunk: int = 8192
+    # full-image eval path: "oneshot" renders each chunk in one jit with
+    # a 4x sample budget; "window" uses the memory-bounded iterative
+    # alive-ray renderer (reference utils.py:175-350); "auto" picks
+    # "window" when a chunk's worst-case demand (eval_chunk * max march
+    # steps) exceeds the one-shot budget — i.e. exactly when the
+    # one-shot path could truncate samples on dense scenes (VERDICT #9)
+    eval_renderer: str = "auto"
     ckpt_every: int = 1000
     log_every: int = 100
     seed: int = 42
@@ -268,6 +275,7 @@ class Stage1Trainer:
         self._occ_update = jax.jit(self._occ_update_impl)
         self._train_step = jax.jit(self._train_step_impl)
         self._eval_render = jax.jit(self._eval_render_impl)
+        self._window_render = None  # built lazily on first windowed eval
 
     # ---- jitted impls ----
     def _occ_update_impl(self, params, occ_state, step, key):
@@ -472,9 +480,35 @@ class Stage1Trainer:
             except Exception:
                 pass  # no video codec in minimal environments
 
-    def render_view(self, data):
-        """Full-image render in fixed chunks."""
+    def _use_window_eval(self) -> bool:
         cfg = self.cfg
+        if cfg.eval_renderer == "window":
+            return True
+        if cfg.eval_renderer == "oneshot":
+            return False
+        oneshot_budget = min(1 << 20, self.rcfg.max_samples_total * 4)
+        return cfg.eval_chunk * self.rcfg.max_steps > oneshot_budget
+
+    def render_view(self, data):
+        """Full-image render in fixed chunks; per-chunk the one-shot
+        renderer or (when the chunk's worst-case sample demand exceeds
+        the one-shot budget) the memory-bounded iterative window
+        renderer — the reference's render_image_with_occgrid_test
+        switch (utils.py:175-350)."""
+        cfg = self.cfg
+        use_window = self._use_window_eval()
+        if use_window and self._window_render is None:
+            from ..render.renderer import make_test_renderer
+
+            # budget == chunk * window_steps: a window can NEVER
+            # truncate (budget equals its worst-case demand) while peak
+            # memory stays bounded by ~2^20 samples per call
+            wsteps = int(np.clip((1 << 20) // cfg.eval_chunk, 16, 256))
+            self._window_render = make_test_renderer(
+                self.params, self.aabb, self.ngp_cfg, self.rcfg,
+                window_steps=wsteps,
+                window_budget=cfg.eval_chunk * wsteps,
+            )
         origins = np.asarray(data["rays"].origins)
         viewdirs = np.asarray(data["rays"].viewdirs)
         n = origins.shape[0]
@@ -486,10 +520,17 @@ class Stage1Trainer:
         ).astype(np.float32)
         outs = []
         for i in range(0, n_pad, chunk):
-            rgb, _, _, _ = self._eval_render(
-                self.params, self.occ_state,
-                jnp.asarray(o[i:i + chunk]), jnp.asarray(d[i:i + chunk]),
-            )
+            oc = jnp.asarray(o[i:i + chunk])
+            dc = jnp.asarray(d[i:i + chunk])
+            if use_window:
+                rgb, _, _, _ = self._window_render(
+                    self.occ_state, oc, dc, render_bkgd=jnp.ones(3),
+                    params=self.params,
+                )
+            else:
+                rgb, _, _, _ = self._eval_render(
+                    self.params, self.occ_state, oc, dc,
+                )
             outs.append(np.asarray(rgb))
         return np.concatenate(outs)[:n]
 

@@ -5,6 +5,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.multichip
+
 sys.path.insert(0, "/root/repo")
 
 

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.pipeline
+
 from quadraturefields_tpu.baking.stage6 import (
     BakedRenderer,
     bake_textures,

@@ -1,0 +1,147 @@
+"""UV-atlas injectivity on curved meshes (VERDICT #6).
+
+The reference gets per-chart injectivity from xatlas
+(generate_uv_xatlas_old.py:49-94); our PCA-plane projection is only
+injective after fold-splitting. These tests rasterize curved fixture
+meshes in numpy and assert that no texel center lies strictly inside
+two different triangles — the failure mode that silently averages two
+surface regions into one texel during baking.
+"""
+import numpy as np
+
+from quadraturefields_tpu.baking.uvatlas import (
+    build_uv_atlas,
+    split_folded_segments,
+)
+from quadraturefields_tpu.geometry.meshio import Mesh
+
+
+def _uv_sphere(n=24, radius=1.0):
+    th = np.linspace(0, np.pi, n + 1)
+    ph = np.linspace(0, 2 * np.pi, n + 1)[:-1]
+    T, P = np.meshgrid(th, ph, indexing="ij")
+    x = radius * np.sin(T) * np.cos(P)
+    y = radius * np.sin(T) * np.sin(P)
+    z = radius * np.cos(T)
+    verts = np.stack([x, y, z], -1).reshape(-1, 3).astype(np.float32)
+
+    def vid(i, j):
+        return i * n + (j % n)
+
+    faces = []
+    for i in range(n):
+        for j in range(n):
+            a, b = vid(i, j), vid(i, j + 1)
+            c, d = vid(i + 1, j), vid(i + 1, j + 1)
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    return Mesh(verts, np.asarray(faces, np.int32))
+
+
+def _strict_interior_claims(uv, faces, size):
+    """Count, per texel, the triangles whose *strict interior* contains
+    the texel center. Adjacent triangles only share boundary texels, so
+    any texel with count >= 2 is a genuine chart/projection overlap."""
+    counts = np.zeros((size, size), np.int32)
+    tri = uv[faces]                                   # [F, 3, 2]
+    for t in tri:
+        lo = np.floor(t.min(0)).astype(int)
+        hi = np.ceil(t.max(0)).astype(int) + 1
+        lo = np.clip(lo, 0, size)
+        hi = np.clip(hi, 0, size)
+        if (hi <= lo).any():
+            continue
+        xs = np.arange(lo[0], hi[0]) + 0.5
+        ys = np.arange(lo[1], hi[1]) + 0.5
+        X, Y = np.meshgrid(xs, ys, indexing="ij")
+        p = np.stack([X, Y], -1)                      # [w, h, 2]
+        d = t[1:] - t[0]                              # [2, 2]
+        det = d[0, 0] * d[1, 1] - d[0, 1] * d[1, 0]
+        if abs(det) < 1e-9:
+            continue
+        rel = p - t[0]
+        b1 = (rel[..., 0] * d[1, 1] - rel[..., 1] * d[1, 0]) / det
+        b2 = (rel[..., 1] * d[0, 0] - rel[..., 0] * d[0, 1]) / det
+        eps = 1e-4
+        inside = (b1 > eps) & (b2 > eps) & (b1 + b2 < 1.0 - eps)
+        counts[lo[0]:hi[0], lo[1]:hi[1]] += inside.astype(np.int32)
+    return counts
+
+
+def test_sphere_single_segment_is_fold_split():
+    """A whole sphere as ONE segment is maximally folded; the splitter
+    must partition it into cone-limited connected charts."""
+    mesh = _uv_sphere(16)
+    segs = split_folded_segments(
+        mesh, np.zeros((mesh.faces.shape[0],), np.int64)
+    )
+    assert len(np.unique(segs)) >= 4
+    # every refined segment passes the cone criterion
+    from quadraturefields_tpu.baking.uvatlas import _face_normals
+
+    normals = _face_normals(mesh)
+    for lab in np.unique(segs):
+        n = normals[segs == lab]
+        if n.shape[0] <= 1:
+            continue
+        mean = n.mean(0)
+        mean /= max(np.linalg.norm(mean), 1e-12)
+        assert (n @ mean).min() >= 0.5 - 1e-6
+
+
+def test_sphere_atlas_injective():
+    mesh = _uv_sphere(20)
+    size = 256
+    atlas_mesh, uv = build_uv_atlas(
+        mesh, np.zeros((mesh.faces.shape[0],), np.int64), size
+    )
+    counts = _strict_interior_claims(uv, atlas_mesh.faces, size)
+    n_collisions = int((counts >= 2).sum())
+    assert n_collisions == 0, f"{n_collisions} overlapping texels"
+
+
+def test_parallel_sheets_atlas_injective():
+    """Two disconnected parallel quads with identical normals: the
+    connectivity split (not the normal cone) must separate them."""
+    verts = np.array(
+        [
+            [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],       # z=0
+            [0, 0, 0.1], [1, 0, 0.1], [1, 1, 0.1], [0, 1, 0.1],
+        ],
+        np.float32,
+    )
+    faces = np.array(
+        [[0, 1, 2], [0, 2, 3], [4, 5, 6], [4, 6, 7]], np.int32
+    )
+    mesh = Mesh(verts, faces)
+    size = 128
+    atlas_mesh, uv = build_uv_atlas(
+        mesh, np.zeros((4,), np.int64), size
+    )
+    counts = _strict_interior_claims(uv, atlas_mesh.faces, size)
+    assert int((counts >= 2).sum()) == 0
+
+
+def test_fold_split_preserves_flat_segments():
+    """A near-planar segment must pass through unsplit (chart count and
+    texel sharing parity with the pre-split behavior)."""
+    # gentle paraboloid patch: normals well inside a 60-degree cone
+    n = 12
+    xs = np.linspace(-0.5, 0.5, n)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    Z = 0.1 * (X**2 + Y**2)
+    verts = np.stack([X, Y, Z], -1).reshape(-1, 3).astype(np.float32)
+    faces = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a = i * n + j
+            b = a + 1
+            c = a + n
+            d = c + 1
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    mesh = Mesh(verts, np.asarray(faces, np.int32))
+    segs = split_folded_segments(
+        mesh, np.zeros((mesh.faces.shape[0],), np.int64)
+    )
+    assert len(np.unique(segs)) == 1
