@@ -210,24 +210,34 @@ def bench_baked_fps():
     )
 
     # fill the compressor with plausible synthetic SG features at the
-    # valid texels (feature VALUES don't change the timed path)
+    # valid texels (feature VALUES don't change the timed path).
+    # Generate one small random block and tile it: the axon process's
+    # host CPU is throttled and big numpy RNG draws cost minutes
+    # (measured 176 s for a [5.6M, 18] normal draw)
     rng = np.random.default_rng(0)
     comp = FeatureCompression(
         num_lobes=num_lobes, initialize=True,
         texture_size=texture_size, compression_type="sigmoid",
     )
     rows, cols = np.nonzero(tri_image >= 0)
-    feats = np.zeros((rows.shape[0], 3 + 7 * num_lobes + 1), np.float32)
-    feats[:, :3] = rng.normal(0, 1, (rows.shape[0], 3))
+    n_texels = rows.shape[0]
+    block = 1 << 15
+    fdim = 3 + 7 * num_lobes + 1
+    base = np.zeros((block, fdim), np.float32)
+    base[:, :3] = rng.standard_normal((block, 3), dtype=np.float32)
     for i in range(num_lobes):
         o = 3 + 7 * i
-        ax = rng.normal(size=(rows.shape[0], 3))
-        feats[:, o:o + 3] = ax / np.linalg.norm(ax, axis=1, keepdims=True)
-        feats[:, o + 3] = rng.uniform(0.5, 6.0, rows.shape[0])
-        feats[:, o + 4:o + 7] = rng.normal(0, 1, (rows.shape[0], 3))
-    feats[:, -1] = rng.uniform(50.0, 400.0, rows.shape[0])
-    chunk = 1 << 20
-    for i in range(0, rows.shape[0], chunk):
+        ax = rng.standard_normal((block, 3), dtype=np.float32)
+        base[:, o:o + 3] = ax / np.linalg.norm(ax, axis=1, keepdims=True)
+        base[:, o + 3] = rng.uniform(0.5, 6.0, block)
+        base[:, o + 4:o + 7] = rng.standard_normal(
+            (block, 3), dtype=np.float32
+        )
+    base[:, -1] = rng.uniform(50.0, 400.0, block)
+    reps = -(-n_texels // block)
+    feats = np.tile(base, (reps, 1))[:n_texels]
+    chunk = 1 << 21
+    for i in range(0, n_texels, chunk):
         comp.load_features_into_maps(
             feats[i:i + chunk],
             np.stack([rows[i:i + chunk], cols[i:i + chunk]], 1),
@@ -243,7 +253,7 @@ def bench_baked_fps():
     H = W = 800
     focal = 1111.0
 
-    def view_rays(theta):
+    def camera(theta):
         eye = np.asarray(
             [3.0 * np.cos(theta), 3.0 * np.sin(theta), 1.2], np.float32
         )
@@ -251,6 +261,10 @@ def bench_baked_fps():
         right = np.cross(fwd, [0, 0, 1.0])
         right /= np.linalg.norm(right)
         up = np.cross(right, fwd)
+        return np.stack([eye, right, up, fwd]).astype(np.float32)
+
+    def view_rays(cam):
+        eye, right, up, fwd = cam
         i, j = np.meshgrid(
             np.arange(W, dtype=np.float32),
             np.arange(H, dtype=np.float32),
@@ -269,33 +283,57 @@ def bench_baked_fps():
             dirs.astype(np.float32),
         )
 
-    chunk = 1 << 16
-    views = [view_rays(t) for t in np.linspace(0, 2 * np.pi, 4)[:3]]
+    # chunk = half a frame EXACTLY: fewer remote dispatches (each round
+    # trip costs ~100 ms on the tunnel), uniform chunk shapes (ONE jit
+    # compile — remote compiles run 1-3 min each), and the producer
+    # thread still overlaps BVH casting with the device render
+    chunk = (H * W) // 2
+    views = [camera(t) for t in np.linspace(0, 2 * np.pi, 4)[:3]]
 
+    import functools
     import threading
     from queue import Queue
 
-    def render_view_pipelined(origins, viewdirs):
+    # ray directions regenerated ON DEVICE from the 4x3 camera matrix
+    # (same formula as view_rays): the host needs dense dirs only for
+    # the BVH; re-uploading them cost 7.7 MB/frame on the tunnel
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def device_dirs(cam, start, n_chunk):
+        idx = start + jnp.arange(n_chunk, dtype=jnp.float32)
+        i = jnp.mod(idx, W)
+        j = jnp.floor(idx / W)
+        d = (
+            (i[:, None] - W / 2) / focal * cam[1]
+            + (j[:, None] - H / 2) / focal * -cam[2]
+            + cam[3]
+        )
+        return d / jnp.linalg.norm(d, axis=1, keepdims=True)
+
+    def render_view_pipelined(cam):
         """Host BVH intersection for chunk i+1 overlaps device render of
         chunk i (the reference overlaps the same work via DataLoader
         workers, train_finetune.py:307-317)."""
+        origins, viewdirs = view_rays(cam)
         n = origins.shape[0]
         q: Queue = Queue(maxsize=2)
+
+        if renderer._render_packed is None:
+            renderer._render_packed = jax.jit(
+                renderer._render_packed_impl, static_argnums=(7, 8)
+            )
+        cam_dev = jnp.asarray(cam)
 
         def producer():
             for i in range(0, n, chunk):
                 o = origins[i:i + chunk]
                 d = viewdirs[i:i + chunk]
-                tri_ids, ts, valid = (
+                tri_ids, ts, _ = (
                     renderer.mesh_intersect.intersect_rows(o, d)
                 )
-                fv = renderer.mesh_intersect.face_vertices(tri_ids)
-                fuv = renderer.uv[
-                    renderer.mesh_intersect.mesh.faces[
-                        np.maximum(tri_ids, 0)
-                    ]
-                ]
-                q.put((o, d, tri_ids, ts, valid, fv, fuv))
+                slots, tri_p, ts_p = renderer.pack_hits(
+                    tri_ids, ts, cap=int(o.shape[0] * 1.5)
+                )
+                q.put((i, slots, tri_p, ts_p, o.shape[0]))
             q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)
@@ -305,33 +343,69 @@ def bench_baked_fps():
             item = q.get()
             if item is None:
                 break
-            o, d, tri_ids, ts, valid, fv, fuv = item
-            rgb, _, _ = renderer._render(
-                jnp.asarray(o), jnp.asarray(d), jnp.asarray(tri_ids),
-                jnp.asarray(ts), jnp.asarray(valid), jnp.asarray(fv),
-                jnp.asarray(fuv),
+            start, slots, tri_p, ts_p, n_chunk = item
+            d_dev = device_dirs(cam_dev, jnp.float32(start), n_chunk)
+            rgb, _, _ = renderer._render_packed(
+                renderer.maps_packed, renderer.geom,
+                cam_dev[:1], d_dev, jnp.asarray(slots),
+                jnp.asarray(tri_p), jnp.asarray(ts_p), n_chunk,
+                renderer.mesh_intersect.max_hits,
             )
             outs.append(rgb)
         return np.concatenate([np.asarray(r) for r in outs])[:n]
 
     # compile + warm
-    render_view_pipelined(*views[0])
+    render_view_pipelined(views[0])
     times = []
-    for k in range(3):
+    for k in range(5):
         t0 = time.perf_counter()
-        img = render_view_pipelined(*views[k % len(views)])
+        img = render_view_pipelined(views[k % len(views)])
         times.append(time.perf_counter() - t0)
-    med = sorted(times)[1]
+    med = sorted(times)[len(times) // 2]
     assert img.shape[0] == H * W
-    return 1.0 / med, times
+
+    # device-path FPS: hits pre-staged on device, frame rendered as the
+    # same two chunk calls (reusing the compiled shape) — what a
+    # host-attached v5e sees once the 1-core BVH and the dev-tunnel
+    # transfers are out of the picture (the reference hides its Embree
+    # cast in DataLoader workers the same way, train_finetune.py:307-317)
+    cam = views[0]
+    origins, viewdirs = view_rays(cam)
+    cam_dev = jnp.asarray(cam)
+    staged = []
+    for i in range(0, origins.shape[0], chunk):
+        o = origins[i:i + chunk]
+        tri_ids, ts, _ = renderer.mesh_intersect.intersect_rows(
+            o, viewdirs[i:i + chunk]
+        )
+        slots, tri_p, ts_p = renderer.pack_hits(
+            tri_ids, ts, cap=int(o.shape[0] * 1.5)
+        )
+        staged.append((
+            device_dirs(cam_dev, jnp.float32(i), o.shape[0]),
+            jnp.asarray(slots), jnp.asarray(tri_p), jnp.asarray(ts_p),
+            o.shape[0],
+        ))
+    t0 = time.perf_counter()
+    n_dev = 10
+    for _ in range(n_dev):
+        for d_dev, slots, tri_p, ts_p, n_chunk in staged:
+            rgb, _, _ = renderer._render_packed(
+                renderer.maps_packed, renderer.geom, cam_dev[:1], d_dev,
+                slots, tri_p, ts_p, n_chunk,
+                renderer.mesh_intersect.max_hits,
+            )
+    float(jnp.sum(rgb))
+    device_fps = n_dev / (time.perf_counter() - t0)
+    return 1.0 / med, times, device_fps
 
 
 def main():
     samples_per_sec, s1_windows = bench_stage1()
     try:
-        fps, fps_times = bench_baked_fps()
+        fps, fps_times, device_fps = bench_baked_fps()
     except Exception as e:  # never lose the primary metric
-        fps, fps_times = None, [repr(e)]
+        fps, fps_times, device_fps = None, [repr(e)], None
 
     out = {
         "metric": "stage1_train_samples_per_sec",
@@ -344,6 +418,9 @@ def main():
         "extra": {
             "baked_eval_fps_800x800": (
                 round(fps, 2) if fps is not None else None
+            ),
+            "baked_device_fps_800x800": (
+                round(device_fps, 2) if device_fps is not None else None
             ),
             "stage1_window_s": [round(t, 3) for t in s1_windows],
             "baked_frame_s": [

@@ -76,8 +76,11 @@ class FeatureCompression:
 
     def compress(self, features):
         """features [N, 3 + 7*num_lobes + 1] -> dict of uint8 arrays
-        (texture_utils.py:67-98)."""
-        features = jnp.asarray(features)
+        (texture_utils.py:67-98). Runs on HOST numpy: baking writes
+        millions of texels and per-chunk device round trips cost
+        minutes on the remote platform (measured 316 s for 5.6M texels
+        vs ~2 s in numpy)."""
+        features = np.asarray(features)
         n = features.shape[0]
         sigma = features[:, -1]
         alpha = compress_sigma(sigma)
@@ -87,7 +90,7 @@ class FeatureCompression:
         lobes = features[..., 3:-1].reshape(n, self.num_lobes, 7)
         azimuth, elevation = compress_polar_coordinates(lobes[..., :3])
         comp_lambda = compress_lambda(
-            jnp.abs(lobes[..., 3]), self.lambda_thres
+            np.abs(lobes[..., 3]), self.lambda_thres
         )
         data = {
             "alpha": np.asarray(alpha),
@@ -149,6 +152,45 @@ class FeatureCompression:
                 [jnp.asarray(a) for a in self.sg_colors]
             ),  # [L, N, N, 3]
         }
+
+    def as_device_array_packed(self):
+        """All maps channel-packed into ONE [N, N, 1+3+6L] uint8 array:
+        the baked render path then pays one texture gather per hit
+        instead of 2+2L (TPU gather cost scales with the index count,
+        PERF_NOTES.md). Channel layout: [alpha, diffuse(3), per-lobe
+        (lambda, azimuth, elevation, color(3))]."""
+        parts = [self.alpha[..., None], self.diffuse]
+        for i in range(self.num_lobes):
+            parts.append(self.lambdas[i])
+            parts.append(self.sg_colors[i])
+        return jnp.asarray(np.concatenate(parts, axis=-1))
+
+    def get_features_from_packed_texels(self, tex):
+        """Decode a gathered [M, 1+3+6L] uint8 texel block (from
+        as_device_array_packed) -> [M, 3 + 7L + 1] feature vectors —
+        same output contract as get_features_from_texture_map."""
+        sigma = inverse_of_compressed_sigma(tex[:, 0])
+        diffuse = inverse_of_compressed_colors(
+            tex[:, 1:4], compress_type=self.compression_type
+        )
+        feats = [diffuse]
+        for i in range(self.num_lobes):
+            o = 4 + 6 * i
+            lam = inverse_of_compressed_lambda(
+                tex[:, o], self.lambda_thres
+            )
+            axis = inverse_of_azimuth_and_elevation(
+                tex[:, o + 1], tex[:, o + 2]
+            )
+            color = inverse_of_compressed_colors(
+                tex[:, o + 3:o + 6],
+                compress_type=self.compression_type,
+            )
+            feats.append(axis)
+            feats.append(lam[:, None])
+            feats.append(color)
+        feats.append(sigma[:, None])
+        return jnp.concatenate(feats, axis=-1)
 
     def get_features_from_texture_map(self, indices, maps=None):
         """Texel (row, col) -> decoded feature vector

@@ -21,7 +21,12 @@ import numpy as np
 from ..geometry.intersect import MeshIntersection
 from ..geometry.meshio import Mesh, save_obj_with_uv, save_ply
 from ..geometry.native import segment_mesh
-from ..models.ngp import NGPConfig, ngp_features, ngp_forward
+from ..models.ngp import (
+    NGPConfig,
+    ngp_features,
+    ngp_features_to_rgb,
+    ngp_forward,
+)
 from ..render.baked import render_baked_rows
 from ..render.quadrature import HitRows, render_fit_sg_rows, row_composite
 from ..utils.metrics import lpips_metric, psnr, ssim
@@ -201,16 +206,36 @@ class BakedRenderer:
         self.uv = np.asarray(uv, np.float32)
         self.compressor = compressor
         self.maps = compressor.as_device_arrays()
+        self.maps_packed = compressor.as_device_array_packed()
+        # device-resident atlas geometry: per-chunk uploads carry only
+        # (origins, dirs, tri_ids, ts, valid) ~6 MB instead of the
+        # precomputed [R,H,3,3]+[R,H,3,2] corner arrays ~37 MB — the
+        # remote-link transfer dominated the baked frame time
+        self.geom = {
+            "verts": jnp.asarray(atlas_mesh.vertices, jnp.float32),
+            "faces": jnp.asarray(atlas_mesh.faces, jnp.int32),
+            "uv": jnp.asarray(self.uv),
+        }
         self.sg_cfg = sg_cfg
         self.render_step_size = render_step_size
         self._render = jax.jit(self._render_impl)
+        self._render_packed = None  # built lazily (static R, H args)
 
-    def _render_impl(self, origins, viewdirs, tri_ids, ts, valid,
-                     face_vertices, face_uv):
+    def _render_impl(self, maps, geom, origins, viewdirs, tri_ids, ts):
+        # `maps`/`geom` (hundreds of MB of texture data) MUST be jit
+        # arguments, not closure captures: captured device constants
+        # are serialized into the program and overflow the remote
+        # compiler's request limit (HTTP 413). `valid` is derived on
+        # device (tri_ids >= 0) instead of uploaded.
+        valid = tri_ids >= 0
+        tri_safe = jnp.maximum(tri_ids, 0)
+        corner_ids = geom["faces"][tri_safe]          # [R, H, 3]
+        face_vertices = geom["verts"][corner_ids]     # [R, H, 3, 3]
+        face_uv = geom["uv"][corner_ids]              # [R, H, 3, 2]
         hits = HitRows(tri_ids=tri_ids, ts=ts, valid=valid)
         rgb, alpha, depth, _ = render_baked_rows(
             hits, origins, viewdirs, face_vertices, face_uv,
-            self.maps,
+            maps,
             self.compressor.get_features_from_texture_map,
             self.sg_cfg,
             texture_size=self.compressor.texture_size,
@@ -218,17 +243,113 @@ class BakedRenderer:
         )
         return rgb, alpha, depth
 
-    def render_rays(self, origins, viewdirs):
-        tri_ids, ts, valid = self.mesh_intersect.intersect_rows(
+    def _render_packed_impl(self, maps, geom, origin_rows, viewdirs,
+                            slots, tri, ts_p, n_rays_static, max_hits):
+        """Packed-hit variant: (slots, tri, ts_p) carry only the VALID
+        hits (slot = ray*H + h, -1 pad, sorted — so the stream is
+        ray-sorted and depth-ordered). Everything (texel fetch, SG
+        decode, segmented-scan compositing) runs directly on the packed
+        stream: no dense [R, H] reconstruction, so gathers scale with
+        actual hits, not slots (the dense variant's [R,H,3,3] corner
+        gathers were ~5x the useful work), and the upload per frame
+        drops from ~56 MB dense to ~8 MB — the remote host->device link
+        is the baked path's bottleneck (BASELINE.md)."""
+        from ..ops import scan
+        from ..render.baked import hit_uv_texels
+
+        valid = slots >= 0
+        ray_idx = jnp.where(
+            valid, slots // max_hits, n_rays_static
+        ).astype(jnp.int32)
+        ray_clip = jnp.clip(ray_idx, 0, n_rays_static - 1)
+        d = viewdirs[ray_clip]                        # [M, 3]
+        origins = jnp.broadcast_to(origin_rows, (n_rays_static, 3))
+        xyz = origins[ray_clip] + d * ts_p[:, None]
+        corner = geom["faces"][jnp.maximum(tri, 0)]   # [M, 3]
+        fv = geom["verts"][corner]                    # [M, 3, 3]
+        fuv = geom["uv"][corner]                      # [M, 3, 2]
+        texels = hit_uv_texels(
+            xyz, fv, fuv, self.compressor.texture_size
+        )
+        # `maps` here is the channel-packed [T, T, C] uint8 array:
+        # ONE texture gather per hit instead of 2+2L map lookups
+        tex = maps[texels[:, 0], texels[:, 1]]
+        feats = self.compressor.get_features_from_packed_texels(tex)
+        sigmas = jnp.where(valid, feats[:, -1], 0.0)
+        rgbs = ngp_features_to_rgb(feats[:, :-1], d, self.sg_cfg)
+        dt = self.render_step_size
+        boundaries = scan.mark_pack_boundaries(ray_idx)
+        weights, _, _ = scan.render_weight_from_density(
+            ts_p, ts_p + dt, sigmas, boundaries
+        )
+        weights = jnp.where(valid, weights, 0.0)
+        rgb = scan.accumulate_along_rays(
+            weights, ray_idx, rgbs, n_rays_static
+        )
+        alpha = scan.accumulate_along_rays(
+            weights, ray_idx, None, n_rays_static
+        )
+        depth = scan.accumulate_along_rays(
+            weights, ray_idx, ts_p[:, None], n_rays_static
+        )
+        depth = depth / jnp.clip(alpha, min=1e-10)
+        rgb = (1.0 - alpha) + rgb  # white background (dense-path parity)
+        return rgb, alpha, depth
+
+    @staticmethod
+    def pack_hits(tri_ids, ts, cap: int):
+        """Host-side: dense [R,H] hits -> (slots, tri, ts) packed arrays
+        of static length `cap` (slot = -1 padding). On overflow, whole
+        trailing hit-DEPTH levels are dropped (never whole rays): level
+        h is kept only if every hit up to level h fits."""
+        valid = tri_ids >= 0
+        if int(valid.sum()) > cap:
+            per_h = valid.sum(axis=0)
+            cum = np.cumsum(per_h)
+            h_keep = int(np.searchsorted(cum, cap, side="right"))
+            valid = valid.copy()
+            valid[:, h_keep:] = False
+        slots = np.nonzero(valid.reshape(-1))[0].astype(np.int32)
+        m = slots.shape[0]
+        tri_p = tri_ids.reshape(-1)[slots]
+        ts_p = ts.reshape(-1)[slots]
+        pad = cap - m
+        return (
+            np.concatenate([slots, np.full(pad, -1, np.int32)]),
+            np.concatenate([tri_p, np.zeros(pad, np.int32)]),
+            np.concatenate([ts_p, np.zeros(pad, np.float32)]),
+        )
+
+    def render_rays(self, origins, viewdirs, packed: bool = True,
+                    pack_cap_hits: float = 2.0):
+        tri_ids, ts, _ = self.mesh_intersect.intersect_rows(
             origins, viewdirs
         )
-        fv = self.mesh_intersect.face_vertices(tri_ids)
-        fuv = self.uv[self.mesh_intersect.mesh.faces[np.maximum(tri_ids, 0)]]
-        rgb, alpha, depth = self._render(
-            jnp.asarray(origins), jnp.asarray(viewdirs),
-            jnp.asarray(tri_ids), jnp.asarray(ts), jnp.asarray(valid),
-            jnp.asarray(fv), jnp.asarray(fuv),
-        )
+        n = origins.shape[0]
+        if packed:
+            if self._render_packed is None:
+                self._render_packed = jax.jit(
+                    self._render_packed_impl, static_argnums=(7, 8)
+                )
+            cap = int(n * pack_cap_hits)
+            slots, tri_p, ts_p = self.pack_hits(tri_ids, ts, cap)
+            # pinhole cameras share one origin: upload [1,3] + broadcast
+            o_rows = (
+                origins[:1]
+                if np.allclose(origins, origins[0]) else origins
+            )
+            rgb, alpha, depth = self._render_packed(
+                self.maps_packed, self.geom,
+                jnp.asarray(o_rows), jnp.asarray(viewdirs),
+                jnp.asarray(slots), jnp.asarray(tri_p),
+                jnp.asarray(ts_p), n, self.mesh_intersect.max_hits,
+            )
+        else:
+            rgb, alpha, depth = self._render(
+                self.maps, self.geom,
+                jnp.asarray(origins), jnp.asarray(viewdirs),
+                jnp.asarray(tri_ids), jnp.asarray(ts),
+            )
         return np.asarray(rgb), np.asarray(alpha), np.asarray(depth)
 
     def render_view(self, data, chunk: int = 8192):
