@@ -129,15 +129,16 @@ def main(argv=None):
               os.path.join(out_dir, f"texture_{args.texture_size}"))
 
     if run_all or args.command == "eval":
-        from ..geometry.meshio import Mesh
+        # load the SAVED atlas artifacts from the `uv` step — re-running
+        # segmentation here could silently mismatch the baked textures
+        # if any parameter drifted between invocations (VERDICT weak #9)
+        from ..geometry.meshio import load_obj_with_uv
 
-        mesh = load_ply(os.path.join(out_dir, "mesh_updated.ply"))
-        uv = np.load(os.path.join(out_dir, "atlas_uv.npy"))
-        # atlas mesh is reconstructable from the obj; for simplicity
-        # re-run segmentation+atlas deterministically when missing
-        from ..baking.stage6 import segment_and_atlas as _sa
-
-        atlas_mesh, uv, _, _ = _sa(mesh, args.texture_size)
+        atlas_mesh, uv = load_obj_with_uv(
+            os.path.join(
+                out_dir, f"mesh_segmentation_{args.texture_size}.obj"
+            )
+        )
         comp = FeatureCompression(
             num_lobes=args.num_lobes,
             path=os.path.join(out_dir, f"texture_{args.texture_size}/"),

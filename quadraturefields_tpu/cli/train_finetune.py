@@ -35,7 +35,7 @@ def build_parser():
                    choices=["cube", "tet"],
                    help="hash-grid interpolation (hashgrid.py)")
     p.add_argument("--grad_mode", type=str, default="auto",
-                   choices=["auto", "exact", "sorted", "dedup",
+                   choices=["auto", "exact", "sorted",
                             "stochastic"],
                    help="table-gradient strategy (hashgrid.py)")
     return p

@@ -38,7 +38,7 @@ def build_parser():
                    choices=["cube", "tet"],
                    help="hash-grid interpolation (hashgrid.py)")
     p.add_argument("--grad_mode", type=str, default="auto",
-                   choices=["auto", "exact", "sorted", "dedup",
+                   choices=["auto", "exact", "sorted",
                             "stochastic"],
                    help="table-gradient strategy (hashgrid.py)")
     p.add_argument("--scene_type", type=str, default="auto",

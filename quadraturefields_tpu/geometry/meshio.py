@@ -146,3 +146,30 @@ def save_obj_with_uv(path: str, mesh: Mesh, uv: np.ndarray) -> None:
         )
     with open(path, "w") as fp:
         fp.write("\n".join(lines) + "\n")
+
+
+def load_obj_with_uv(path: str):
+    """Inverse of save_obj_with_uv -> (Mesh, uv [V, 2]). Vertex and UV
+    indices coincide in the atlas export (per-chart duplicated
+    vertices), so only the v-index of each f triplet is read."""
+    verts, uvs, faces = [], [], []
+    with open(path) as fp:
+        for line in fp:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                verts.append([float(x) for x in parts[1:4]])
+            elif parts[0] == "vt":
+                uvs.append([float(x) for x in parts[1:3]])
+            elif parts[0] == "f":
+                faces.append(
+                    [int(p.split("/")[0]) - 1 for p in parts[1:4]]
+                )
+    return (
+        Mesh(
+            np.asarray(verts, np.float32),
+            np.asarray(faces, np.int32),
+        ),
+        np.asarray(uvs, np.float32),
+    )

@@ -51,9 +51,9 @@ class HashGridConfig:
     #                  + a Pallas windowed one-hot MXU accumulate (see
     #                  hashgrid_sorted.py). Exact modulo f32 summation
     #                  order; ~2x faster than "exact" at stage-1 scale.
-    #   "dedup"      — sort contributions by entry, reduce runs with a
-    #                  resetting segmented scan, scatter one row per
-    #                  touched entry (exact; superseded by "sorted").
+    #                  (A "dedup" sort+segmented-scan+scatter mode
+    #                  existed in round 1; "sorted" dominates it
+    #                  everywhere, so it was retired — PERF_NOTES.md.)
     #   "stochastic" — sample ONE corner per (point, level) with
     #                  probability = its interpolation weight and
     #                  scatter the unweighted cotangent there: an
@@ -288,110 +288,6 @@ def _encode_fwd(table, x, cfg: HashGridConfig):
     return out, res
 
 
-def _seg_combine(a, b):
-    """Associative operator of the resetting segmented sum: a segment-
-    start flag on the right operand discards the left prefix."""
-    af, avs = a[0], a[1:]
-    bf, bvs = b[0], b[1:]
-    vs = tuple(
-        jnp.where(bf, bv, av + bv) for av, bv in zip(avs, bvs)
-    )
-    return (af | bf,) + vs
-
-
-def _segmented_scan(is_start, vals, block: int = 1024):
-    """Inclusive segmented sum-scan over 1-D arrays (resets where
-    is_start). A direct `associative_scan` over tens of millions of
-    elements compiles pathologically on the TPU toolchain, so this is
-    blocked: a log-step Hillis-Steele scan inside [block]-wide rows
-    (pure streaming vector ops) + an `associative_scan` over the tiny
-    per-row carry monoid. Returns (scanned_vals, seen_flag) where
-    seen_flag marks positions at/after their row-prefixed segment
-    start (used by callers only via the scanned values).
-    """
-    m = is_start.shape[0]
-    pad = (-m) % block
-    if pad:
-        # padding elements start their own segments: no carry leaks
-        is_start = jnp.concatenate(
-            [is_start, jnp.ones((pad,), bool)]
-        )
-        vals = tuple(
-            jnp.concatenate([v, jnp.zeros((pad,), v.dtype)])
-            for v in vals
-        )
-    R = is_start.shape[0] // block
-    F = is_start.reshape(R, block)
-    V = tuple(v.reshape(R, block) for v in vals)
-    d = 1
-    while d < block:
-        fs = jnp.pad(F, ((0, 0), (d, 0)))[:, :block]
-        V = tuple(
-            v + jnp.where(
-                F, 0.0, jnp.pad(v, ((0, 0), (d, 0)))[:, :block]
-            )
-            for v in V
-        )
-        F = F | fs
-        d *= 2
-    # cross-row carries: each row aggregates to (trailing-segment sum,
-    # any-flag); exclusive segmented scan over the R-element monoid
-    row = (F[:, -1],) + tuple(v[:, -1] for v in V)
-    agg = jax.lax.associative_scan(_seg_combine, row)
-    carry_f = jnp.concatenate([jnp.zeros((1,), bool), agg[0][:-1]])
-    carries = tuple(
-        jnp.concatenate([jnp.zeros((1,), a.dtype), a[:-1]])
-        for a in agg[1:]
-    )
-    del carry_f  # carry value is already reset-aware per row
-    V = tuple(
-        v + jnp.where(F, 0.0, c[:, None]) for v, c in zip(V, carries)
-    )
-    out = tuple(v.reshape(-1)[:m] for v in V)
-    return out
-
-
-def _dedup_table_grad(idx_e, contribs, total_entries: int):
-    """Exact table gradient with deduplicated scatter indices.
-
-    idx_e: [M] i32 entry ids; contribs: tuple of F arrays [M] f32.
-    Sort by entry, reduce each run with a *resetting* segmented scan
-    (a global cumsum + boundary diff loses ~all precision at M ~ 16M
-    in f32), stable-partition the run totals to the front, and scatter
-    at most min(M, total_entries) rows. Exact modulo f32 summation
-    order. Returns flat [total_entries * F] f32.
-    """
-    F = len(contribs)
-    m = idx_e.shape[0]
-    cap = min(m, total_entries)
-    srt = jax.lax.sort((idx_e,) + tuple(contribs), num_keys=1)
-    ids_s, vals_s = srt[0], srt[1:]
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), bool), ids_s[1:] != ids_s[:-1]]
-    )
-    totals = _segmented_scan(is_start, tuple(vals_s))
-    # totals valid at run ENDS (inclusive scan)
-    is_end = jnp.concatenate([is_start[1:], jnp.ones((1,), bool)])
-    # stable partition by !is_end: every run's total lands once in the
-    # first `num_runs <= cap` slots
-    part = jax.lax.sort(
-        ((~is_end).astype(jnp.int32), ids_s) + tuple(totals),
-        num_keys=1,
-    )
-    valid_c = part[0][:cap] == 0
-    ids_c = jnp.where(valid_c, part[1][:cap], total_entries)
-    flat = jnp.concatenate([ids_c * F + f for f in range(F)])
-    vals = jnp.concatenate(
-        [jnp.where(valid_c, t[:cap], 0.0) for t in part[2:]]
-    )
-    out = (
-        jnp.zeros(((total_entries + 1) * F,), jnp.float32)
-        .at[flat]
-        .add(vals, mode="promise_in_bounds")
-    )
-    return out[: total_entries * F]
-
-
 def _hash_u01(x, n_levels: int):
     """Deterministic per-(position, level) uniforms in [0, 1) from the
     coordinate bit patterns (train-time positions are jittered every
@@ -481,13 +377,6 @@ def _encode_bwd(cfg: HashGridConfig, saved, g):
             jnp.zeros((cfg.total_entries * F,), jnp.float32)
             .at[flat_idx.reshape(-1)]
             .add(contrib.reshape(-1), mode="promise_in_bounds")
-        )
-    elif mode == "dedup":
-        contribs = tuple(
-            (w_t * g_t[:, f : f + 1, :]).reshape(-1) for f in range(F)
-        )
-        d_flat = _dedup_table_grad(
-            idx_t.reshape(-1), contribs, cfg.total_entries
         )
     else:
         if mode != "exact":

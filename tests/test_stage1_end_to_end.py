@@ -25,7 +25,7 @@ def trained(fixture_root, tmp_path_factory):
         scene="fixture",
         data_root=fixture_root,
         root=str(tmp_path_factory.mktemp("runs")),
-        max_steps=250,
+        max_steps=160,
         init_batch_size=512,
         batch_size_log2=14,
         grid_resolution=32,

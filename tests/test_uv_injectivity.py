@@ -145,3 +145,22 @@ def test_fold_split_preserves_flat_segments():
         mesh, np.zeros((mesh.faces.shape[0],), np.int64)
     )
     assert len(np.unique(segs)) == 1
+
+
+def test_obj_uv_round_trip(tmp_path):
+    from quadraturefields_tpu.geometry.meshio import (
+        load_obj_with_uv,
+        save_obj_with_uv,
+    )
+
+    mesh = _uv_sphere(6)
+    rng = np.random.default_rng(0)
+    uv = rng.uniform(0, 64, (mesh.vertices.shape[0], 2)).astype(
+        np.float32
+    )
+    path = str(tmp_path / "atlas.obj")
+    save_obj_with_uv(path, mesh, uv)
+    mesh2, uv2 = load_obj_with_uv(path)
+    np.testing.assert_allclose(mesh2.vertices, mesh.vertices, atol=1e-5)
+    np.testing.assert_array_equal(mesh2.faces, mesh.faces)
+    np.testing.assert_allclose(uv2, uv, atol=1e-4)
