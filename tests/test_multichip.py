@@ -258,3 +258,44 @@ def test_dp_finetune_step_parity():
     assert abs(losses[0] - losses[1]) <= 1e-5, losses
     np.testing.assert_allclose(caches[0][0], caches[1][0], atol=1e-6)
     np.testing.assert_allclose(caches[0][1], caches[1][1], atol=1e-6)
+
+
+def test_sp_render_matches_single_device():
+    """Sample-axis (t-window) sharding: the 1-, 2- and 4-chip sharded
+    renders must match the unsharded one-shot render to f32 tolerance —
+    including early-termination thresholds, which are applied to the
+    GLOBAL transmittance (parallel/sp.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from quadraturefields_tpu.parallel.dp import make_mesh
+    from quadraturefields_tpu.parallel.sp import make_sp_render
+    from quadraturefields_tpu.render.renderer import render_rays_occgrid
+
+    (aabb, ngp_cfg, rcfg, params, occ_state,
+     origins, viewdirs, _) = _unsaturated_setup(n_rays=24)
+
+    ref = render_rays_occgrid(
+        params, aabb, ngp_cfg, occ_state, origins, viewdirs, rcfg,
+        render_bkgd=jnp.ones(3), stratified=False,
+    )
+    for n_dev in (1, 2, 4):
+        mesh = make_mesh(n_dev)
+        render = make_sp_render(mesh, aabb, ngp_cfg, rcfg)
+        rgb, opacity, depth, nv = render(
+            params, occ_state, origins, viewdirs,
+            render_bkgd=jnp.ones(3),
+        )
+        np.testing.assert_allclose(
+            np.asarray(rgb), np.asarray(ref.rgb), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(opacity), np.asarray(ref.opacity), atol=2e-4
+        )
+        assert int(nv) == int(ref.num_valid), (int(nv), int(ref.num_valid))
+        # depth agrees where the ray actually hit something
+        hit = np.asarray(ref.opacity[:, 0]) > 1e-3
+        np.testing.assert_allclose(
+            np.asarray(depth)[hit], np.asarray(ref.depth)[hit],
+            rtol=1e-3, atol=1e-3,
+        )
