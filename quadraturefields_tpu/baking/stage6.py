@@ -215,6 +215,20 @@ class BakedRenderer:
             "verts": jnp.asarray(atlas_mesh.vertices, jnp.float32),
             "faces": jnp.asarray(atlas_mesh.faces, jnp.int32),
             "uv": jnp.asarray(self.uv),
+            # per-face packed corner data [F, 3, 5] = (xyz, uv) per
+            # corner: the packed render path pays ONE row gather per
+            # hit instead of 1 face + 3 vertex + 3 uv lookups (TPU
+            # gather cost scales with index count, PERF_NOTES.md)
+            "face_data": jnp.asarray(
+                np.concatenate(
+                    [
+                        atlas_mesh.vertices[atlas_mesh.faces],
+                        self.uv[atlas_mesh.faces],
+                    ],
+                    axis=-1,
+                ),
+                jnp.float32,
+            ),
         }
         self.sg_cfg = sg_cfg
         self.render_step_size = render_step_size
@@ -265,9 +279,9 @@ class BakedRenderer:
         d = viewdirs[ray_clip]                        # [M, 3]
         origins = jnp.broadcast_to(origin_rows, (n_rays_static, 3))
         xyz = origins[ray_clip] + d * ts_p[:, None]
-        corner = geom["faces"][jnp.maximum(tri, 0)]   # [M, 3]
-        fv = geom["verts"][corner]                    # [M, 3, 3]
-        fuv = geom["uv"][corner]                      # [M, 3, 2]
+        fd = geom["face_data"][jnp.maximum(tri, 0)]   # [M, 3, 5]
+        fv = fd[..., :3]                              # [M, 3, 3]
+        fuv = fd[..., 3:]                             # [M, 3, 2]
         texels = hit_uv_texels(
             xyz, fv, fuv, self.compressor.texture_size
         )
