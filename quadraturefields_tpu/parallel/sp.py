@@ -141,7 +141,7 @@ def make_sp_render(
         check_rep=False,
     )
 
-    @jax.jit
+    @functools.partial(jax.jit, static_argnames=("stratified",))
     def render(params, occ_state, origins, viewdirs, render_bkgd=None,
                key=None, stratified: bool = False):
         n_rays = origins.shape[0]

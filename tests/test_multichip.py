@@ -299,3 +299,30 @@ def test_sp_render_matches_single_device():
             np.asarray(depth)[hit], np.asarray(ref.depth)[hit],
             rtol=1e-3, atol=1e-3,
         )
+
+
+def test_sp_render_stratified_alignment():
+    """With stratified jitter ON, the SP path applies the per-ray grid
+    shift OUTSIDE the per-window sampler so every chip's knots stay on
+    one global t-grid; 1- vs 2-device stratified renders must agree."""
+    import jax
+    import jax.numpy as jnp
+
+    from quadraturefields_tpu.parallel.dp import make_mesh
+    from quadraturefields_tpu.parallel.sp import make_sp_render
+
+    (aabb, ngp_cfg, rcfg, params, occ_state,
+     origins, viewdirs, _) = _unsaturated_setup(n_rays=16)
+    outs = []
+    for n_dev in (1, 2):
+        mesh = make_mesh(n_dev)
+        render = make_sp_render(mesh, aabb, ngp_cfg, rcfg)
+        rgb, opacity, _, nv = render(
+            params, occ_state, origins, viewdirs,
+            render_bkgd=jnp.ones(3), key=jax.random.PRNGKey(7),
+            stratified=True,
+        )
+        outs.append((np.asarray(rgb), np.asarray(opacity), int(nv)))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], atol=2e-4)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], atol=2e-4)
+    assert outs[0][2] == outs[1][2]
