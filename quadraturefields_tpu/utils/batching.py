@@ -3,19 +3,40 @@
 The reference resizes the ray batch every step to hold the *sample*
 count constant (train_ngp_nerf_sg_occ.py:303-309). Arbitrary shapes
 would force a recompile per step under jit, so requested sizes snap to
-a geometric bucket grid (ratio 2^(1/4), multiples of 256): ~40 distinct
-shapes across [256, 2^22], each compiled once.
+a geometric bucket grid. The grid is deliberately coarse (ratio √2,
+multiples of 256, FLOOR): the remote TPU toolchain pays 1-5 minutes per
+compile, so a stage sees ≤ ~10 distinct shapes at its working range
+(measured: the previous 2^(1/4) grid recompiled stage-4/5 nearly every
+step on a cold cache). Flooring means the sample demand can only
+UNDERSHOOT the target — rounding up would overflow the fixed
+max_samples_total compaction budget and silently truncate samples.
 """
 from __future__ import annotations
 
-import math
+import bisect
 
-_RATIO = 2 ** 0.25
+_RATIO = 2 ** 0.5
+
+
+def _build_grid(lo: int = 256, hi: int = 1 << 22):
+    grid, k = [], 0
+    while True:
+        b = int(lo * (_RATIO**k) // 256 * 256)
+        if not grid or b > grid[-1]:
+            grid.append(b)
+        if b >= hi:
+            break
+        k += 1
+    return grid
+
+
+_GRID = _build_grid()
 
 
 def bucket_num_rays(n: int, min_rays: int = 256, max_rays: int = 1 << 22):
+    """Largest grid value <= n (idempotent: grid values map to
+    themselves), clamped to [min_rays, max_rays]."""
     n = max(min_rays, min(int(n), max_rays))
-    k = math.ceil(math.log(n / min_rays, _RATIO)) if n > min_rays else 0
-    b = min_rays * (_RATIO**k)
-    b = int(math.ceil(b / 256.0) * 256)
-    return min(b, max_rays)
+    i = bisect.bisect_right(_GRID, n) - 1
+    b = _GRID[max(i, 0)]
+    return max(min_rays, min(b, max_rays))
