@@ -1,4 +1,10 @@
-"""Micro-profile of stage-1 train step components on the TPU."""
+"""Micro-profile of stage-1 train step components on the TPU.
+
+SUPERSEDED by tools/profile_r3.py: this script's timeit syncs with
+jax.block_until_ready, which is a NO-OP on the axon remote platform
+(bench.py header) — its numbers under-report. Kept only for the
+round-1 measurement history referenced in PERF_NOTES.md.
+"""
 import sys, time
 import jax
 import jax.numpy as jnp
