@@ -235,7 +235,10 @@ def compact_indices(flat_mask, size: int):
     n = flat_mask.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
     keys = jnp.where(flat_mask, iota, jnp.int32(n))
-    return jax.lax.sort(keys)[:size]
+    out = jax.lax.sort(keys)[:size]
+    if n < size:  # keep the exact-`size` shape contract of nonzero(size=...)
+        out = jnp.pad(out, (0, size - n), constant_values=n)
+    return out
 
 
 def occ_grid_sampling(

@@ -261,23 +261,33 @@ def make_test_renderer(
     eval time on the remote-compile toolchain).
     """
     dt = rcfg.render_step_size
+    contracted = bool(getattr(ngp_cfg, "unbounded", False))
 
     @jax.jit
     def window(ngp_params, occ_state, origins, viewdirs, near_planes,
                rgb, opacity, depth, alive):
         n_rays = origins.shape[0]
         # cursors advance monotonically even for dead rays (a reset
-        # would resurrect them and re-composite the span)
-        far = near_planes + window_steps * dt
-        # per-ray window [cursor, cursor + K*dt): the sampler's
-        # near/far accept per-ray arrays
+        # would resurrect them and re-composite the span).
+        # The cone grid re-anchored at a previous knot continues the
+        # one-shot schedule exactly (linear knots stay on the dt grid;
+        # geometric knots satisfy t_star <= cursor so i_star == 0), so
+        # windowed samples land on the same t values as the one-shot
+        # march for any cone_angle.
+        from ..ops.grid import _cone_t_grid
+
+        far = _cone_t_grid(
+            near_planes, dt, rcfg.cone_angle, window_steps
+        )[:, -1]
         samples = occ_grid_sampling(
             occ_state, origins, viewdirs,
             render_step_size=dt,
             max_steps=window_steps,
             max_samples_total=window_budget,
             near_plane=near_planes,
-            far_plane=far,
+            far_plane=jnp.minimum(far, rcfg.far_plane),
+            cone_angle=rcfg.cone_angle,
+            contract_aabb=aabb if contracted else None,
         )
         idx = jnp.clip(samples.ray_indices, 0, n_rays - 1)
         in_window = samples.valid & alive[idx]
@@ -305,8 +315,12 @@ def make_test_renderer(
             weights, samples.ray_indices, t_mid[..., None], n_rays
         )
         near_planes = far
-        t_max = ray_aabb_t_max(occ_state.aabb, origins, viewdirs,
-                               rcfg.far_plane)
+        if contracted:
+            # unbounded scenes have no AABB exit: rays march to far_plane
+            t_max = jnp.full((n_rays,), rcfg.far_plane)
+        else:
+            t_max = ray_aabb_t_max(occ_state.aabb, origins, viewdirs,
+                                   rcfg.far_plane)
         alive = (
             (opacity[:, 0] <= 1.0 - early_stop_eps)
             & (near_planes < t_max)
@@ -319,14 +333,26 @@ def make_test_renderer(
 
         params = ngp_params if params is None else params
         n_rays = origins.shape[0]
-        # anchor each ray's cursor at its AABB entry so window samples
-        # land on the same t-grid as the one-shot renderer
-        from ..ops.grid import ray_aabb_intersect
+        if contracted:
+            # one-shot unbounded march anchors at near_plane for every
+            # ray (occ_grid_sampling's contract branch); mirror that,
+            # and size the window count to cover [near, far] fully
+            from ..ops.grid import max_march_steps_cone
 
-        t_entry, _, _ = ray_aabb_intersect(
-            origins, viewdirs, occ_state.aabb
-        )
-        near = jnp.maximum(t_entry, rcfg.near_plane)
+            near = jnp.full((n_rays,), rcfg.near_plane)
+            need = max_march_steps_cone(
+                rcfg.near_plane, rcfg.far_plane, dt, rcfg.cone_angle
+            )
+            max_windows = max(max_windows, -(-need // window_steps))
+        else:
+            # anchor each ray's cursor at its AABB entry so window
+            # samples land on the same t-grid as the one-shot renderer
+            from ..ops.grid import ray_aabb_intersect
+
+            t_entry, _, _ = ray_aabb_intersect(
+                origins, viewdirs, occ_state.aabb
+            )
+            near = jnp.maximum(t_entry, rcfg.near_plane)
         rgb = jnp.zeros((n_rays, 3))
         opacity = jnp.zeros((n_rays, 1))
         depth = jnp.zeros((n_rays, 1))

@@ -17,6 +17,7 @@ vectors (lpips package layout).
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Optional
 
 import jax
@@ -40,6 +41,8 @@ _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 
 class LPIPS:
+    _warned_nan = False  # one loud warning per process, not per eval
+
     def __init__(self, weights_path: Optional[str] = None):
         weights_path = weights_path or os.environ.get("QF_LPIPS_WEIGHTS")
         self.params = None
@@ -76,6 +79,16 @@ class LPIPS:
         """img0/img1: [H, W, 3] in [0, 1]. Returns scalar LPIPS or NaN
         when weights are unavailable."""
         if not self.available:
+            if not LPIPS._warned_nan:
+                LPIPS._warned_nan = True
+                warnings.warn(
+                    "LPIPS weights unavailable — emitting NaN for every "
+                    "lpips metric. Provide an npz via QF_LPIPS_WEIGHTS "
+                    "(build it with tools/convert_lpips_weights.py from "
+                    "the torch `lpips` package; see that script's "
+                    "docstring for the procedure).",
+                    stacklevel=2,
+                )
             return float("nan")
         x0 = jnp.asarray(img0)[None] * 2.0 - 1.0
         x1 = jnp.asarray(img1)[None] * 2.0 - 1.0

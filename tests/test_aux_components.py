@@ -57,6 +57,63 @@ def test_window_test_renderer_matches_single_pass():
     )
 
 
+def test_window_test_renderer_matches_single_pass_unbounded():
+    """The windowed eval path must reproduce the one-shot render on an
+    UNBOUNDED scene: contracted occupancy lookups, exponential cone
+    steps, and marching to far_plane instead of the ROI box exit
+    (reference render_image_with_occgrid_test handles contraction the
+    same way, utils.py:175-350)."""
+    from quadraturefields_tpu.models.ngp import NGPConfig, ngp_init
+    from quadraturefields_tpu.ops.grid import (
+        OccGridConfig, occ_grid_init, max_march_steps_cone,
+    )
+    from quadraturefields_tpu.render.renderer import (
+        RenderConfig, make_test_renderer, render_rays_occgrid,
+    )
+
+    aabb = jnp.asarray([-1.0] * 3 + [1.0] * 3)
+    cfg = NGPConfig(head="sg", num_g_lobes=2, n_levels=4,
+                    max_resolution=64, log2_hashmap_size=12,
+                    unbounded=True, compute_dtype="float32")
+    params = ngp_init(jax.random.PRNGKey(0), cfg)
+    occ_state = occ_grid_init(aabb, OccGridConfig(resolution=16))
+    dt, cone, near, far = 2e-2, 0.004, 0.2, 20.0
+    rcfg = RenderConfig(
+        render_step_size=dt,
+        cone_angle=cone,
+        near_plane=near,
+        far_plane=far,
+        max_steps=max_march_steps_cone(near, far, dt, cone),
+        max_samples_total=1 << 15,
+    )
+    n = 48
+    rng = np.random.default_rng(1)
+    o = np.tile([[0, 0, -2.0]], (n, 1)).astype(np.float32)
+    d = rng.normal(size=(n, 3)) * 0.3 + [0, 0, 1]
+    d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+
+    res = render_rays_occgrid(
+        params, aabb, cfg, occ_state, jnp.asarray(o), jnp.asarray(d),
+        rcfg, render_bkgd=jnp.ones(3),
+    )
+    test_fn = make_test_renderer(params, aabb, cfg, rcfg,
+                                 window_steps=32, window_budget=1 << 13)
+    rgb_it, opa_it, _, total = test_fn(
+        occ_state, jnp.asarray(o), jnp.asarray(d),
+        render_bkgd=jnp.ones(3),
+    )
+    assert total > 0
+    # background must be composited: with far marching complete, the
+    # windowed opacity matches the one-shot (which saturates on this
+    # random-init field), not the truncated ROI-box value
+    np.testing.assert_allclose(
+        np.asarray(rgb_it), np.asarray(res.rgb), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(opa_it), np.asarray(res.opacity), atol=5e-3
+    )
+
+
 def test_distortion_loss_matches_naive():
     from quadraturefields_tpu.ops.distortion import flatten_eff_distloss
 
