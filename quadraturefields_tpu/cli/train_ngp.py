@@ -41,6 +41,10 @@ def build_parser():
                    choices=["auto", "exact", "sorted",
                             "stochastic"],
                    help="table-gradient strategy (hashgrid.py)")
+    p.add_argument("--layout", type=str, default="corner",
+                   choices=["corner", "cell"],
+                   help="hash-table layout: corner = tcnn parity, "
+                        "cell = one gather per level (hashgrid.py)")
     p.add_argument("--scene_type", type=str, default="auto",
                    choices=["auto", "synthetic", "360"],
                    help="force the scene family (auto: 360 scene names "
@@ -55,6 +59,7 @@ def main(argv=None):
     cfg = Stage1Config(
         interp=args.interp,
         grad_mode=args.grad_mode,
+        layout=args.layout,
         scene=args.scene,
         data_root=args.data_root,
         exp_name=args.exp_name,

@@ -50,18 +50,28 @@ class NGPConfig:
     table_dtype: str = "float32"
     interp: str = "cube"  # "tet" halves table lookups (see hashgrid.py)
     grad_mode: str = "auto"  # table-gradient strategy (see hashgrid.py)
+    # "cell" = one-gather-per-level table layout (hashgrid.py). At the
+    # model level log2_hashmap_size keeps its tcnn meaning (log2 of the
+    # per-level PARAMETER budget / n_features); cell rows hold 8x the
+    # features, so the row count drops by 3 bits — equal parameters,
+    # fewer (wider) gathers.
+    layout: str = "corner"
 
     @property
     def hashgrid(self) -> HashGridConfig:
+        log2_t = self.log2_hashmap_size
+        if self.layout == "cell":
+            log2_t = max(log2_t - 3, 4)
         return HashGridConfig.from_max_resolution(
             self.max_resolution,
             n_levels=self.n_levels,
             base_resolution=self.base_resolution,
             n_features=2,
-            log2_hashmap_size=self.log2_hashmap_size,
+            log2_hashmap_size=log2_t,
             dtype=self.table_dtype,
             interp=self.interp,
             grad_mode=self.grad_mode,
+            layout=self.layout,
         )
 
     @property

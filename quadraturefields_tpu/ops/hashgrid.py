@@ -63,10 +63,33 @@ class HashGridConfig:
     #   "auto"       — "sorted" when F == 2 (the production configs),
     #                  else "exact".
     grad_mode: str = "auto"
+    # Table layout (the round-3 encoding redesign; PERF_NOTES.md "v5e
+    # ceiling" section):
+    #   "corner" — tcnn parity: one table row per grid CORNER, C
+    #              gathers per (point, level). Exact instant-NGP.
+    #   "cell"   — one row per grid CELL holding all 8 corner feature
+    #              vectors (row width 8*F): ONE gather per (point,
+    #              level), i.e. C x fewer gather indices — the v5e
+    #              gather floor is per-index, not per-byte. Trades
+    #              tcnn numeric parity: corners are not shared between
+    #              cells, so the encoding is trilinear inside each
+    #              cell but discontinuous at cell boundaries (hash
+    #              duplicates of a corner train toward the same target
+    #              and converge together). Equal parameter budget vs
+    #              "corner" means 8 x fewer rows: log2_hashmap_size
+    #              here counts ROWS, so pass log2_T(corner) - 3.
+    layout: str = "corner"
 
     @property
     def corners(self) -> int:
         return 8 if self.interp == "cube" else 4
+
+    @property
+    def row_width(self) -> int:
+        """Feature floats per table row."""
+        if self.layout == "cell":
+            return 8 * self.n_features  # all 8 cell corners in-row
+        return self.n_features
 
     @staticmethod
     def from_max_resolution(
@@ -78,6 +101,7 @@ class HashGridConfig:
         dtype: str = "float32",
         interp: str = "cube",
         grad_mode: str = "auto",
+        layout: str = "corner",
     ) -> "HashGridConfig":
         """per_level_scale = exp((ln max_res - ln base_res)/(L-1)),
         the reference's derivation (ngp.py:320-322, field.py:154)."""
@@ -94,6 +118,7 @@ class HashGridConfig:
             dtype=dtype,
             interp=interp,
             grad_mode=grad_mode,
+            layout=layout,
         )
 
     @property
@@ -109,12 +134,15 @@ class HashGridConfig:
 
     @property
     def level_sizes(self) -> Tuple[int, ...]:
-        """Entries per level: dense res^3 if it fits, else 2^log2_T.
-        Dense sizes are padded to a multiple of 8 like tcnn."""
+        """Rows per level: dense if the level's grid fits the hashmap
+        budget, else 2^log2_T. Dense sizes are padded to a multiple of
+        8 like tcnn. "corner" rows index grid corners (res per axis);
+        "cell" rows index grid cells (res-1 per axis)."""
         hashmap_size = 1 << self.log2_hashmap_size
         sizes = []
         for res in self.level_resolutions:
-            dense = res**3
+            n_axis = res - 1 if self.layout == "cell" else res
+            dense = n_axis**3
             size = min(dense, hashmap_size)
             size = (size + 7) // 8 * 8
             sizes.append(size)
@@ -140,7 +168,7 @@ def hashgrid_init(key, cfg: HashGridConfig):
     """Table init U(-1e-4, 1e-4), tcnn's default for grid encodings."""
     table = jax.random.uniform(
         key,
-        (cfg.total_entries, cfg.n_features),
+        (cfg.total_entries, cfg.row_width),
         minval=-1e-4,
         maxval=1e-4,
         dtype=jnp.float32,
@@ -242,6 +270,142 @@ def _corner_indices_weights(x, cfg: HashGridConfig):
     return jnp.concatenate(idx_all, axis=1), jnp.concatenate(w_all, axis=1)
 
 
+def _cell_indices_weights(x, cfg: HashGridConfig):
+    """Cell-layout lookup: per (point, level) ONE table row index (the
+    hashed cell) plus DENSE 8-corner interpolation weights.
+
+    Returns (idx [N, L], w8 [N, L*8]). Corner order matches _CORNERS
+    (id = i*4 + j*2 + k), i.e. row slot c*F:(c+1)*F holds corner c's
+    features. interp="tet" places the 4 Kuhn-simplex weights in their
+    corner slots (same result as the sparse form; gathers are per-cell
+    here so tet saves nothing and "cube" is the default quality
+    choice).
+    """
+    compute_dtype = jnp.float32
+    n = x.shape[0]
+    idx_all, w_all = [], []
+    # corner slot id = i*4 + j*2 + k — the identity permutation of
+    # _CORNERS' construction order, so cube weights index slots directly
+    for l in range(cfg.n_levels):
+        pos = x.astype(compute_dtype) * jnp.asarray(
+            cfg.level_scales[l], compute_dtype
+        ) + 0.5
+        base = jnp.floor(pos).astype(jnp.int32)
+        res = cfg.level_resolutions[l]
+        n_axis = res - 1  # cells per axis
+        cell = jnp.clip(base, 0, n_axis - 1)
+        # frac relative to the (possibly clipped) cell so edge points
+        # interpolate to the boundary corner instead of extrapolating
+        frac = pos - cell.astype(compute_dtype)
+        if cfg.interp == "cube":
+            w8 = jnp.ones((n, 8), compute_dtype)
+            for axis in range(3):
+                c = jnp.asarray(_CORNERS)[None, :, axis].astype(
+                    compute_dtype
+                )
+                f = jnp.clip(frac[:, None, axis], 0.0, 1.0)
+                w8 = w8 * (c * f + (1.0 - c) * (1.0 - f))
+        else:  # tet: 4 simplex weights placed densely in corner slots
+            ff = jnp.clip(frac, 0.0, 1.0)
+            fx, fy, fz = ff[:, 0], ff[:, 1], ff[:, 2]
+            rx = (fy > fx).astype(jnp.int32) + (fz > fx).astype(jnp.int32)
+            ry = (fx >= fy).astype(jnp.int32) + (fz > fy).astype(jnp.int32)
+            rz = (fx >= fz).astype(jnp.int32) + (fy >= fz).astype(jnp.int32)
+            r = jnp.stack([rx, ry, rz], axis=1)
+            e_first = (r == 0).astype(jnp.int32)
+            e_second = (r == 1).astype(jnp.int32)
+            f1 = jnp.sum(jnp.where(r == 0, ff, 0.0), axis=1)
+            f2 = jnp.sum(jnp.where(r == 1, ff, 0.0), axis=1)
+            f3 = jnp.sum(jnp.where(r == 2, ff, 0.0), axis=1)
+            wk = jnp.stack([1.0 - f1, f1 - f2, f2 - f3, f3], axis=1)
+            c1 = e_first
+            c2 = e_first + e_second
+            ids = jnp.stack([
+                jnp.zeros((n,), jnp.int32),
+                c1[:, 0] * 4 + c1[:, 1] * 2 + c1[:, 2],
+                c2[:, 0] * 4 + c2[:, 1] * 2 + c2[:, 2],
+                jnp.full((n,), 7, jnp.int32),
+            ], axis=1)                                   # [N, 4]
+            slot = jnp.arange(8, dtype=jnp.int32)
+            w8 = jnp.sum(
+                jnp.where(
+                    ids[:, :, None] == slot[None, None, :],
+                    wk[:, :, None], 0.0,
+                ),
+                axis=1,
+            )                                            # [N, 8]
+        idx = _level_indices(cell, n_axis, cfg.level_sizes[l]) \
+            + cfg.level_offsets[l]
+        idx_all.append(idx[:, None])
+        w_all.append(w8)
+    return (
+        jnp.concatenate(idx_all, axis=1),                # [N, L]
+        jnp.concatenate(w_all, axis=1),                  # [N, L*8]
+    )
+
+
+def _cell_fwd_impl(table, x, cfg: HashGridConfig):
+    x = jnp.clip(x, 0.0, 1.0)
+    n = x.shape[0]
+    L, F = cfg.n_levels, cfg.n_features
+    idx, w8 = _cell_indices_weights(x, cfg)              # [N,L], [N,L*8]
+    rows_levels = []
+    for l in range(L):
+        rows_levels.append(table[idx[:, l]].astype(jnp.float32))
+    rows = jnp.concatenate(rows_levels, axis=1)          # [N, L*8*F]
+    wf = jnp.repeat(w8, F, axis=1)                       # [N, L*8*F]
+    out = (rows * wf).reshape(n, L, 8, F)
+    out = jnp.sum(out, axis=2).reshape(n, L * F)
+    return out, (idx, w8, rows, x)
+
+
+def _cell_bwd(cfg: HashGridConfig, saved, g):
+    idx, w8, rows, x = saved
+    table_dtype = jnp.dtype(cfg.dtype)
+    n = x.shape[0]
+    L, F, RW = cfg.n_levels, cfg.n_features, cfg.row_width
+    g32 = g.astype(jnp.float32)
+    # contribution rows: r[n, l, c*F+f] = w8[n, l*8+c] * g[n, l*F+f]
+    contrib = (
+        w8.reshape(n, L, 8, 1) * g32.reshape(n, L, 1, F)
+    ).reshape(n * L, RW)
+    flat_idx = idx.reshape(-1)
+
+    mode = cfg.grad_mode
+    if mode == "auto":
+        on_accel = jax.default_backend() != "cpu"
+        mode = "sorted" if on_accel else "exact"
+    if mode == "sorted":
+        from .hashgrid_sorted import sorted_row_grad
+
+        d_table = sorted_row_grad(
+            flat_idx, contrib, cfg.total_entries
+        ).astype(table_dtype)
+    else:
+        d_table = (
+            jnp.zeros((cfg.total_entries, RW), jnp.float32)
+            .at[flat_idx]
+            .add(contrib, mode="promise_in_bounds")
+            .astype(table_dtype)
+        )
+
+    # dL/dx through the interpolation weights
+    dL_dw = jnp.sum(
+        rows.reshape(n, L * 8, F) * jnp.repeat(
+            g32.reshape(n * L, F), 8, axis=0
+        ).reshape(n, L * 8, F),
+        axis=-1,
+    )                                                    # [N, L*8]
+
+    def w_of_x(xx):
+        _, ww = _cell_indices_weights(jnp.clip(xx, 0.0, 1.0), cfg)
+        return ww
+
+    _, pullback = jax.vjp(w_of_x, x)
+    (d_x,) = pullback(dL_dw)
+    return d_table, d_x
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def hashgrid_encode(table, x, cfg: HashGridConfig):
     """Encode positions x [N, 3] in [0,1]^3 -> features [N, L*F].
@@ -260,6 +424,8 @@ def hashgrid_encode(table, x, cfg: HashGridConfig):
 
 
 def _encode_fwd_impl(table, x, cfg: HashGridConfig):
+    if cfg.layout == "cell":
+        return _cell_fwd_impl(table, x, cfg)
     x = jnp.clip(x, 0.0, 1.0)
     n = x.shape[0]
     C = cfg.corners
@@ -309,6 +475,8 @@ def _hash_u01(x, n_levels: int):
 
 
 def _encode_bwd(cfg: HashGridConfig, saved, g):
+    if cfg.layout == "cell":
+        return _cell_bwd(cfg, saved, g)
     idx, w, feats, x = saved
     table_dtype = jnp.dtype(cfg.dtype)
     n = x.shape[0]

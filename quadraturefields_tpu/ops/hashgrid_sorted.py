@@ -113,6 +113,114 @@ def _merge_path(first_rows, n_tiles: int, n_blocks: int):
     return window_ids, slice_ids
 
 
+def _row_acc_kernel(
+    win_ref, slice_ref, krow_ref, kcol_ref, vals_ref, out_ref,
+    *, row_width: int, j_tile: int,
+):
+    """One grid step: place a [J, RW] tile of sorted row-contributions
+    into the current [W, 128] window with a single one-hot matmul.
+
+    OUT[w, l] += sum_j 1[rel_j == w] * 1[l // RW == e_j % epr]
+                      * vals[j, l % RW]
+    The first factor is A [W, J]; the last two collapse into D [J, 128]
+    built by lane-tiling vals (pltpu.repeat) and masking the target
+    lane block — two iota compares total, no per-sublane loop.
+    """
+    i = pl.program_id(0)
+    prev = win_ref[jnp.maximum(i - 1, 0)]
+    is_new = (i == 0) | (win_ref[i] != prev)
+
+    @pl.when(is_new)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    epr = LANES // row_width                      # entries per 128-lane row
+    e_row = krow_ref[0].astype(jnp.int32)         # [1, J]
+    e_col = kcol_ref[:, 0:1].astype(jnp.int32)    # [J, 1]
+    rel = e_row // epr - win_ref[i] * W           # [1, J] window rows
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (W, j_tile), 0)
+    A = (row_iota == rel).astype(jnp.float32)     # [W, J]
+    vt = pltpu.repeat(vals_ref[:], epr, 1)        # [J, 128] lane-tiled
+    lane_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (j_tile, LANES), 1
+    )
+    D = jnp.where(
+        lane_iota // row_width == e_col % epr, vt, 0.0
+    )                                             # [J, 128]
+    out_ref[:] = out_ref[:] + jax.lax.dot_general(
+        A, D, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def sorted_row_grad(idx, vals, total_entries: int):
+    """Segment-sum row contributions into a [total_entries, RW] table
+    gradient: one lax.sort by entry id + the one-hot-matmul window
+    accumulate above. RW = vals.shape[1] must divide 128.
+
+    The cell-layout encoder's table cotangent (each (point, level)
+    contributes one full C*F-wide row to ONE hashed cell entry): a row
+    scatter would cost ~81 ns/row and a flat scalar scatter ~13 ns x RW
+    per row on v5e (PERF_NOTES.md); this path is one 17-operand sort
+    plus ~2k MXU MACs per row. Exact modulo f32 summation order.
+    """
+    m, rw = vals.shape
+    assert LANES % rw == 0, rw
+    epr = LANES // rw
+    J = 512                                        # contributions per tile
+    pad = (-m) % J
+    tot_rows = -(-total_entries // epr)
+    n_blocks = -(-tot_rows // W)
+    rows_pad = n_blocks * W
+    if pad:
+        idx = jnp.concatenate([
+            idx, jnp.full((pad,), (rows_pad + W) * epr, jnp.int32)
+        ])
+        vals = jnp.concatenate(
+            [vals, jnp.zeros((pad, rw), vals.dtype)]
+        )
+    mm = idx.shape[0]
+    n_tiles = mm // J
+
+    cols = tuple(vals[:, j].astype(jnp.float32) for j in range(rw))
+    sorted_ops = jax.lax.sort(
+        (idx.astype(jnp.uint32),) + cols, num_keys=1
+    )
+    keys = sorted_ops[0]
+    svals = jnp.stack(sorted_ops[1:], axis=-1)     # [mm, RW]
+
+    first_rows = keys[::J].astype(jnp.int32) // epr
+    window_ids, slice_ids = _merge_path(first_rows, n_tiles, n_blocks)
+
+    grid = n_tiles + n_blocks - 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 1, J), lambda i, w, s: (s[i], 0, 0)),
+            pl.BlockSpec((J, 1), lambda i, w, s: (s[i], 0)),
+            pl.BlockSpec((J, rw), lambda i, w, s: (s[i], 0)),
+        ],
+        out_specs=pl.BlockSpec((W, LANES), lambda i, w, s: (w[i], 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _row_acc_kernel, row_width=rw, j_tile=J
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rows_pad, LANES), jnp.float32),
+        interpret=_use_interpret(),
+    )(
+        window_ids,
+        slice_ids,
+        keys.reshape(n_tiles, 1, J),
+        keys.reshape(n_tiles * J, 1),
+        svals.reshape(n_tiles * J, rw),
+    )
+    flat = out.reshape(-1)[: total_entries * rw]
+    return flat.reshape(total_entries, rw)
+
+
 def sorted_table_grad(idx, v0, v1, total_entries: int):
     """Segment-sum contributions into a [total_entries, 2] gradient.
 

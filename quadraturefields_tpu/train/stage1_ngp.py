@@ -63,6 +63,7 @@ class Stage1Config:
     log2_hashmap_size: int = 19
     interp: str = "tet"       # hash-grid interpolation (hashgrid.py)
     grad_mode: str = "auto"   # table-gradient strategy (hashgrid.py)
+    layout: str = "corner"    # hash-table layout (hashgrid.py)
     scale: float = 1.5
     lr: float = 1e-2
     weight_decay: Optional[float] = None  # per-scene default if None
@@ -145,6 +146,7 @@ class Stage1Config:
             compute_dtype=self.compute_dtype,
             interp=self.interp,
             grad_mode=self.grad_mode,
+            layout=self.layout,
         )
 
     def render_config(self) -> RenderConfig:

@@ -39,11 +39,16 @@ from ..ops.grid import (
     occ_grid_init,
     occ_grid_update,
     max_march_steps,
+    max_march_steps_cone,
 )
 from ..render.renderer import RenderConfig, render_rays_field
 from ..utils.batching import bucket_num_rays
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
-from ..utils.grid_export import extract_density_grid, extract_field_grid
+from ..utils.grid_export import (
+    extract_density_grid,
+    extract_field_grid,
+    extract_field_grid_h5,
+)
 from ..utils.optim import make_ngp_optimizer
 
 
@@ -85,6 +90,18 @@ class Stage2Config:
     # field slice plots every N steps (reference train_field.py:374-383;
     # 0 disables)
     plot_every: int = 0
+    # unbounded/360: "auto" switches on MIPNERF360_UNBOUNDED_SCENES
+    # (reference train_field.py:151-152); "360"/"synthetic" force it
+    scene_type: str = "auto"
+    data_factor: int = 4      # 360 loader downsample factor
+
+    @property
+    def is_unbounded(self) -> bool:
+        from .stage1_ngp import MIPNERF360_UNBOUNDED_SCENES
+
+        if self.scene_type == "auto":
+            return self.scene in MIPNERF360_UNBOUNDED_SCENES
+        return self.scene_type == "360"
 
     @property
     def target_sample_batch_size(self) -> int:
@@ -92,13 +109,43 @@ class Stage2Config:
 
     @property
     def aabb(self) -> np.ndarray:
+        if self.is_unbounded:
+            # reference train_field.py:159 (contraction ROI box)
+            return np.array([-1, -1, -1, 1, 1, 1], np.float32)
         return np.array([-1, -1, -1, 1, 1, 1], np.float32) * self.scale
+
+    # per-scene-type render knobs (reference train_field.py:151-196):
+    # 360 = step 1e-3, near 0.2, alpha_thre 1e-2, cone 0.004. The
+    # reference's far_plane is 1e10 there; static-shape cone marching
+    # caps it at 1e2 like stage 1 (train_ngp_nerf_sg_occ.py:168) —
+    # past t=100 every contracted sample lands in the same asymptotic
+    # boundary shell of the occupancy grid.
+    @property
+    def eff_render_step_size(self) -> float:
+        return 1e-3 if self.is_unbounded else self.render_step_size
+
+    @property
+    def eff_near_plane(self) -> float:
+        return 0.2 if self.is_unbounded else 0.0
+
+    @property
+    def eff_far_plane(self) -> float:
+        return 1e2 if self.is_unbounded else 1e10
+
+    @property
+    def eff_alpha_thre(self) -> float:
+        return 1e-2 if self.is_unbounded else self.alpha_thre
+
+    @property
+    def eff_cone_angle(self) -> float:
+        return 0.004 if self.is_unbounded else 0.0
 
     def ngp_config(self) -> NGPConfig:
         head = "sg" if self.num_lobes > 0 else "mlp"
         return NGPConfig(
             head=head,
             use_viewdirs=False,
+            unbounded=self.is_unbounded,
             num_g_lobes=self.num_lobes,
             num_layers=self.num_layers,
             log2_hashmap_size=self.log2_hashmap_size,
@@ -124,13 +171,25 @@ class Stage2Config:
         )
 
     def render_config(self) -> RenderConfig:
+        if self.is_unbounded:
+            max_steps = max_march_steps_cone(
+                self.eff_near_plane, self.eff_far_plane,
+                self.eff_render_step_size, self.eff_cone_angle,
+            )
+        else:
+            max_steps = max_march_steps(
+                self.aabb, self.eff_render_step_size
+            )
         return RenderConfig(
-            render_step_size=self.render_step_size,
-            alpha_thre=self.alpha_thre,
+            render_step_size=self.eff_render_step_size,
+            near_plane=self.eff_near_plane,
+            far_plane=self.eff_far_plane,
+            cone_angle=self.eff_cone_angle,
+            alpha_thre=self.eff_alpha_thre,
             early_stop_eps=1e-4,  # more supervised points (utils.py:432)
-            max_steps=max_march_steps(self.aabb, self.render_step_size),
+            max_steps=max_steps,
             max_samples_total=self.target_sample_batch_size,
-            coarse_factor=self.coarse_factor,
+            coarse_factor=0 if self.is_unbounded else self.coarse_factor,
         )
 
 
@@ -172,15 +231,39 @@ class Stage2Trainer:
         self.occ_state = occ_state or occ_grid_init(self.aabb, self.occ_cfg)
 
         self.field_params = field_init(k_field, self.field_cfg)
-        self.train_dataset = train_dataset or SubjectLoader(
-            subject_id=cfg.scene,
-            root_fp=cfg.data_root,
-            split=cfg.train_split,
-            num_rays=cfg.init_batch_size,
-            seed=cfg.seed,
-        )
+        if train_dataset is not None:
+            self.train_dataset = train_dataset
+        elif cfg.is_unbounded:
+            # 360 loader + knobs (reference train_field.py:151-165)
+            from ..data.nerf_360_v2 import SubjectLoader as Loader360
+
+            self.train_dataset = Loader360(
+                subject_id=cfg.scene,
+                root_fp=cfg.data_root,
+                split=cfg.train_split,
+                num_rays=cfg.init_batch_size,
+                color_bkgd_aug="random",
+                factor=cfg.data_factor,
+                seed=cfg.seed,
+            )
+        else:
+            self.train_dataset = SubjectLoader(
+                subject_id=cfg.scene,
+                root_fp=cfg.data_root,
+                split=cfg.train_split,
+                num_rays=cfg.init_batch_size,
+                seed=cfg.seed,
+            )
+        # reference train_field.py:157/177: wd 0 (360), 1e-5
+        # (materials/ficus/drums), else 1e-6
+        if cfg.is_unbounded:
+            wd = 0.0
+        elif cfg.scene in ("materials", "ficus", "drums"):
+            wd = 1e-5
+        else:
+            wd = 1e-6
         self.optimizer = make_ngp_optimizer(
-            cfg.max_steps, lr=cfg.lr, weight_decay=1e-6
+            cfg.max_steps, lr=cfg.lr, weight_decay=wd
         )
         self.opt_state = self.optimizer.init(self.field_params)
         self.step = 0
@@ -191,10 +274,12 @@ class Stage2Trainer:
     def _occ_update_impl(self, ngp_params, occ_state, step, key):
         def occ_eval_fn(x):
             d = ngp_query_density(ngp_params, x, self.aabb, self.ngp_cfg)
-            return d[..., 0] * self.cfg.render_step_size
+            return d[..., 0] * self.cfg.eff_render_step_size
 
-        return occ_grid_update(occ_state, step, key, occ_eval_fn,
-                               self.occ_cfg)
+        return occ_grid_update(
+            occ_state, step, key, occ_eval_fn, self.occ_cfg,
+            contract_aabb=self.aabb if self.cfg.is_unbounded else None,
+        )
 
     def _train_step_impl(
         self, field_params, opt_state, ngp_params, occ_state,
@@ -275,12 +360,24 @@ class Stage2Trainer:
             np.asarray(self.occ_state.binaries)[None],
         )
         if cfg.export_grids:
-            extract_field_grid(
-                self.field_with_grad_fn(),
-                out_dir,
-                scale=cfg.field_scale,
-                grid_size=cfg.grid_export_size,
-            )
+            if cfg.is_unbounded:
+                # memory-bounded chunked h5 export for 360 scenes
+                # (reference field_utils.py:160-225, wired at
+                # train_field.py's unbounded end-of-run path); the
+                # field domain is the contracted cube either way
+                extract_field_grid_h5(
+                    self.field_with_grad_fn(),
+                    os.path.join(out_dir, "grids_valid.h5"),
+                    scale=cfg.field_scale,
+                    grid_size=cfg.grid_export_size,
+                )
+            else:
+                extract_field_grid(
+                    self.field_with_grad_fn(),
+                    out_dir,
+                    scale=cfg.field_scale,
+                    grid_size=cfg.grid_export_size,
+                )
             extract_density_grid(
                 lambda x: ngp_query_density(
                     self.ngp_params, x, self.aabb, self.ngp_cfg
