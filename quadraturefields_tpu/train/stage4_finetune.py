@@ -37,6 +37,7 @@ from ..ops.grid import (
     occ_grid_init,
     occ_grid_update,
     max_march_steps,
+    max_march_steps_cone,
 )
 from ..render.quadrature import (
     HitRows,
@@ -93,6 +94,18 @@ class Stage4Config:
     # train_finetune.py:387-399)
     field_log2_hashmap_size: int = 24
     field_max_res: int = 512
+    # unbounded/360: "auto" switches on MIPNERF360_UNBOUNDED_SCENES
+    # (reference train_finetune.py:248-282); "360"/"synthetic" force it
+    scene_type: str = "auto"
+    data_factor: int = 4      # 360 loader downsample factor
+
+    @property
+    def is_unbounded(self) -> bool:
+        from .stage1_ngp import MIPNERF360_UNBOUNDED_SCENES
+
+        if self.scene_type == "auto":
+            return self.scene in MIPNERF360_UNBOUNDED_SCENES
+        return self.scene_type == "360"
 
     @property
     def target_sample_batch_size(self) -> int:
@@ -100,13 +113,39 @@ class Stage4Config:
 
     @property
     def aabb(self) -> np.ndarray:
+        if self.is_unbounded:
+            # reference train_finetune.py:257 (contraction ROI box)
+            return np.array([-1, -1, -1, 1, 1, 1], np.float32)
         return np.array([-1, -1, -1, 1, 1, 1], np.float32) * self.scale
+
+    # per-scene-type render knobs (reference train_finetune.py:248-282);
+    # far_plane capped at 1e2 as in stages 1-2 (static cone march)
+    @property
+    def eff_render_step_size(self) -> float:
+        return 1e-3 if self.is_unbounded else self.render_step_size
+
+    @property
+    def eff_near_plane(self) -> float:
+        return 0.2 if self.is_unbounded else 0.0
+
+    @property
+    def eff_far_plane(self) -> float:
+        return 1e2 if self.is_unbounded else 1e10
+
+    @property
+    def eff_alpha_thre(self) -> float:
+        return 1e-2 if self.is_unbounded else 0.0
+
+    @property
+    def eff_cone_angle(self) -> float:
+        return 0.004 if self.is_unbounded else 0.0
 
     def ngp_config(self) -> NGPConfig:
         head = "sg" if self.num_lobes > 0 else "mlp"
         return NGPConfig(
             head=head,
             use_viewdirs=False,
+            unbounded=self.is_unbounded,
             num_g_lobes=self.num_lobes,
             num_layers=self.num_layers,
             log2_hashmap_size=self.log2_hashmap_size,
@@ -132,9 +171,22 @@ class Stage4Config:
         )
 
     def render_config(self) -> RenderConfig:
+        if self.is_unbounded:
+            max_steps = max_march_steps_cone(
+                self.eff_near_plane, self.eff_far_plane,
+                self.eff_render_step_size, self.eff_cone_angle,
+            )
+        else:
+            max_steps = max_march_steps(
+                self.aabb, self.eff_render_step_size
+            )
         return RenderConfig(
-            render_step_size=self.render_step_size,
-            max_steps=max_march_steps(self.aabb, self.render_step_size),
+            render_step_size=self.eff_render_step_size,
+            near_plane=self.eff_near_plane,
+            far_plane=self.eff_far_plane,
+            cone_angle=self.eff_cone_angle,
+            alpha_thre=self.eff_alpha_thre,
+            max_steps=max_steps,
             max_samples_total=self.target_sample_batch_size,
         )
 
@@ -183,7 +235,7 @@ class Stage4Trainer:
             scale=cfg.scale,
             voxel_size=cfg.voxel_size,
             num_intersections=cfg.max_hits,
-            render_step_size=cfg.render_step_size,
+            render_step_size=cfg.eff_render_step_size,
         )
         n_faces = self.mesh_intersect.n_faces
         self.cache_d = jnp.zeros((n_faces, 3), jnp.float32)
@@ -208,14 +260,30 @@ class Stage4Trainer:
         self.opt_state = self.optimizer.init(self.params)
         self.step = 0
 
-        self.train_dataset = train_dataset or SubjectLoader(
-            subject_id=cfg.scene,
-            root_fp=cfg.data_root,
-            split="train",
-            num_rays=cfg.init_batch_size,
-            upsample=cfg.up_sample,
-            seed=cfg.seed,
-        )
+        if train_dataset is not None:
+            self.train_dataset = train_dataset
+        elif cfg.is_unbounded:
+            # 360 loader + knobs (reference train_finetune.py:248-263)
+            from ..data.nerf_360_v2 import SubjectLoader as Loader360
+
+            self.train_dataset = Loader360(
+                subject_id=cfg.scene,
+                root_fp=cfg.data_root,
+                split="train",
+                num_rays=cfg.init_batch_size,
+                color_bkgd_aug="random",
+                factor=cfg.data_factor,
+                seed=cfg.seed,
+            )
+        else:
+            self.train_dataset = SubjectLoader(
+                subject_id=cfg.scene,
+                root_fp=cfg.data_root,
+                split="train",
+                num_rays=cfg.init_batch_size,
+                upsample=cfg.up_sample,
+                seed=cfg.seed,
+            )
         self.test_dataset = test_dataset
         self.prefetcher = HitPrefetcher(
             self._make_train_batch, self.mesh_intersect, depth=2
@@ -236,10 +304,12 @@ class Stage4Trainer:
     def _occ_update_impl(self, params, occ_state, step, key):
         def occ_eval_fn(x):
             d = ngp_query_density(params["rf"], x, self.aabb, self.ngp_cfg)
-            return d[..., 0] * self.cfg.render_step_size
+            return d[..., 0] * self.cfg.eff_render_step_size
 
-        return occ_grid_update(occ_state, step, key, occ_eval_fn,
-                               self.occ_cfg)
+        return occ_grid_update(
+            occ_state, step, key, occ_eval_fn, self.occ_cfg,
+            contract_aabb=self.aabb if self.cfg.is_unbounded else None,
+        )
 
     def _loss_fn(
         self, params, occ_state, origins, viewdirs, pixels, bkgd,
@@ -262,7 +332,7 @@ class Stage4Trainer:
             )(ngp_forward(p, x, d, a, c)),
             field_apply_fn=field_apply,
             scaling=cfg.scaling,
-            render_step_size=cfg.render_step_size,
+            render_step_size=cfg.eff_render_step_size,
             bg_color="random",
             render_bkgd=bkgd,
             key=key,
@@ -320,7 +390,7 @@ class Stage4Trainer:
             )(ngp_forward(p, x, d, a, c)),
             field_apply_fn=field_apply,
             scaling=self.cfg.scaling,
-            render_step_size=self.cfg.render_step_size,
+            render_step_size=self.cfg.eff_render_step_size,
             bg_color="white",
             key=key,
         )

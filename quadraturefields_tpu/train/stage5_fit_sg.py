@@ -64,6 +64,18 @@ class Stage5Config:
     seed: int = 42
     max_num_rays: int = 1 << 18
     eval_views: Optional[int] = None
+    # unbounded/360: "auto" switches on MIPNERF360_UNBOUNDED_SCENES
+    # (reference train_fit_sg.py:233-260); "360"/"synthetic" force it
+    scene_type: str = "auto"
+    data_factor: int = 4      # 360 loader downsample factor
+
+    @property
+    def is_unbounded(self) -> bool:
+        from .stage1_ngp import MIPNERF360_UNBOUNDED_SCENES
+
+        if self.scene_type == "auto":
+            return self.scene in MIPNERF360_UNBOUNDED_SCENES
+        return self.scene_type == "360"
 
     @property
     def target_sample_batch_size(self) -> int:
@@ -71,12 +83,19 @@ class Stage5Config:
 
     @property
     def aabb(self) -> np.ndarray:
+        if self.is_unbounded:
+            return np.array([-1, -1, -1, 1, 1, 1], np.float32)
         return np.array([-1, -1, -1, 1, 1, 1], np.float32) * self.scale
+
+    @property
+    def eff_render_step_size(self) -> float:
+        return 1e-3 if self.is_unbounded else self.render_step_size
 
     def sg_config(self) -> NGPConfig:
         return NGPConfig(
             head="sg",
             use_viewdirs=False,
+            unbounded=self.is_unbounded,
             num_g_lobes=self.num_lobes,
             num_layers=self.num_layers,
             log2_hashmap_size=self.log2_hashmap_size,
@@ -88,6 +107,7 @@ class Stage5Config:
         return NGPConfig(
             head="mlp",
             use_viewdirs=False,
+            unbounded=self.is_unbounded,
             num_layers=self.num_layers,
             log2_hashmap_size=self.log2_hashmap_size,
             interp=self.interp,
@@ -138,7 +158,7 @@ class Stage5Trainer:
             simplify_mesh=False,
             scale=1.0,
             num_intersections=cfg.max_hits,
-            render_step_size=cfg.render_step_size,
+            render_step_size=cfg.eff_render_step_size,
         )
 
         self.sg_params = ngp_init(k_sg, self.sg_cfg)
@@ -157,14 +177,30 @@ class Stage5Trainer:
         self.opt_state = self.optimizer.init(self.sg_params)
         self.step = 0
 
-        self.train_dataset = train_dataset or SubjectLoader(
-            subject_id=cfg.scene,
-            root_fp=cfg.data_root,
-            split="train",
-            num_rays=cfg.init_batch_size,
-            upsample=cfg.up_sample,
-            seed=cfg.seed,
-        )
+        if train_dataset is not None:
+            self.train_dataset = train_dataset
+        elif cfg.is_unbounded:
+            # 360 loader + knobs (reference train_fit_sg.py:233-247)
+            from ..data.nerf_360_v2 import SubjectLoader as Loader360
+
+            self.train_dataset = Loader360(
+                subject_id=cfg.scene,
+                root_fp=cfg.data_root,
+                split="train",
+                num_rays=cfg.init_batch_size,
+                color_bkgd_aug="random",
+                factor=cfg.data_factor,
+                seed=cfg.seed,
+            )
+        else:
+            self.train_dataset = SubjectLoader(
+                subject_id=cfg.scene,
+                root_fp=cfg.data_root,
+                split="train",
+                num_rays=cfg.init_batch_size,
+                upsample=cfg.up_sample,
+                seed=cfg.seed,
+            )
         self.prefetcher = HitPrefetcher(
             self.train_dataset.fetch_train_batch, self.mesh_intersect,
             depth=2,
@@ -178,10 +214,12 @@ class Stage5Trainer:
             d = ngp_query_density(
                 self.teacher_params, x, self.aabb, self.teacher_cfg
             )
-            return d[..., 0] * self.cfg.render_step_size
+            return d[..., 0] * self.cfg.eff_render_step_size
 
-        return occ_grid_update(occ_state, step, key, occ_eval_fn,
-                               self.occ_cfg)
+        return occ_grid_update(
+            occ_state, step, key, occ_eval_fn, self.occ_cfg,
+            contract_aabb=self.aabb if self.cfg.is_unbounded else None,
+        )
 
     def _loss_fn(self, sg_params, origins, viewdirs, pixels, bkgd,
                  tri_ids, ts, valid):
@@ -192,7 +230,7 @@ class Stage5Trainer:
             ngp_forward_fn=lambda p, x, d, a, c: (
                 lambda r: (r[0], r[1][..., 0])
             )(ngp_forward(p, x, d, a, c)),
-            render_step_size=self.cfg.render_step_size,
+            render_step_size=self.cfg.eff_render_step_size,
             bg_color="random",
             render_bkgd=bkgd,
         )
@@ -220,7 +258,7 @@ class Stage5Trainer:
             ngp_forward_fn=lambda p, x, d, a, c: (
                 lambda r: (r[0], r[1][..., 0])
             )(ngp_forward(p, x, d, a, c)),
-            render_step_size=self.cfg.render_step_size,
+            render_step_size=self.cfg.eff_render_step_size,
             bg_color="white",
         )
         return rgb, alpha, depth

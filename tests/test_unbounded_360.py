@@ -127,6 +127,130 @@ def test_unbounded_train_step_runs(tmp_path):
     assert np.isfinite(float(loss))
 
 
+def _cube_mesh(half=0.4):
+    """12-triangle cube around the origin (inside the camera ring)."""
+    from quadraturefields_tpu.geometry.meshio import Mesh
+
+    s = half
+    v = np.array([
+        [-s, -s, -s], [s, -s, -s], [s, s, -s], [-s, s, -s],
+        [-s, -s, s], [s, -s, s], [s, s, s], [-s, s, s],
+    ], np.float32)
+    f = np.array([
+        [0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7],
+        [0, 1, 5], [0, 5, 4], [2, 3, 7], [2, 7, 6],
+        [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7],
+    ], np.int32)
+    return Mesh(vertices=v, faces=f)
+
+
+def test_stage2_unbounded_step_and_h5_export(tmp_path):
+    """Stage 2 on a 360 scene (reference train_field.py:151-152): one
+    field step trains through contracted cone marching, and the grid
+    export writes the chunked h5 artifact (field_utils.py:160-225)."""
+    _write_colmap_fixture(str(tmp_path))
+    from quadraturefields_tpu.train.stage1_ngp import (
+        Stage1Config, Stage1Trainer,
+    )
+    from quadraturefields_tpu.train.stage2_field import (
+        Stage2Config, Stage2Trainer,
+    )
+
+    cfg1 = Stage1Config(
+        scene="kitchen", data_root=str(tmp_path), scene_type="360",
+        data_factor=1, max_steps=2, batch_size_log2=10,
+        log2_hashmap_size=12, grid_resolution=32,
+        root=str(tmp_path / "runs"),
+    )
+    t1 = Stage1Trainer(cfg1)
+    t1.train_one_step()
+
+    cfg2 = Stage2Config(
+        scene="kitchen", data_root=str(tmp_path), scene_type="360",
+        data_factor=1, max_steps=2, init_batch_size=256,
+        batch_size_log2=10, log2_hashmap_size=12, grid_resolution=32,
+        field_log2_hashmap_size=14, field_max_res=64,
+        grid_export_size=16, root=str(tmp_path / "runs"),
+    )
+    assert cfg2.is_unbounded
+    assert cfg2.render_config().cone_angle == 0.004
+    t2 = Stage2Trainer(cfg2, ngp_params=t1.params, occ_state=t1.occ_state)
+    loss, nv, mse = t2.train_one_step()
+    assert np.isfinite(float(loss))
+    out_dir = str(tmp_path / "out")
+    t2.export_artifacts(out_dir)
+    h5_path = os.path.join(out_dir, "grids_valid.h5")
+    assert os.path.exists(h5_path)
+    import h5py
+
+    with h5py.File(h5_path, "r") as h5:
+        assert h5["grids"].shape == (16, 16, 16)
+        assert h5["grads"].shape == (16, 16, 16)
+        assert np.isfinite(h5["grids"][:]).all()
+    assert os.path.exists(os.path.join(out_dir, "binaries.npy"))
+    assert os.path.exists(
+        os.path.join(out_dir, "density_grids_valid.npy")
+    )
+
+
+def test_stage4_stage5_unbounded_step(tmp_path):
+    """Stages 4 and 5 accept a 360 scene (reference
+    train_finetune.py:248-249, train_fit_sg.py:233-234): constructors
+    wire the 360 loader + contracted knobs and one train step runs."""
+    _write_colmap_fixture(str(tmp_path))
+    from quadraturefields_tpu.train.stage4_finetune import (
+        Stage4Config, Stage4Trainer,
+    )
+    from quadraturefields_tpu.train.stage5_fit_sg import (
+        Stage5Config, Stage5Trainer,
+    )
+    from quadraturefields_tpu.models.ngp import ngp_init
+
+    mesh = _cube_mesh()
+    cfg4 = Stage4Config(
+        scene="kitchen", data_root=str(tmp_path), scene_type="360",
+        data_factor=1, max_steps=2, init_batch_size=256,
+        batch_size_log2=11, log2_hashmap_size=12, grid_resolution=32,
+        max_hits=4, up_sample=1, max_num_rays=1 << 11,
+        field_log2_hashmap_size=14, field_max_res=64,
+        root=str(tmp_path / "runs"),
+    )
+    assert cfg4.is_unbounded and cfg4.render_config().cone_angle == 0.004
+    t4 = Stage4Trainer(
+        cfg4,
+        ngp_params=ngp_init(jax.random.PRNGKey(0), cfg4.ngp_config()),
+        occ_state=None,
+        mesh=mesh,
+    )
+    try:
+        loss, nh, mse = t4.train_one_step()
+        assert np.isfinite(float(loss))
+    finally:
+        t4.prefetcher.stop()
+
+    cfg5 = Stage5Config(
+        scene="kitchen", data_root=str(tmp_path), scene_type="360",
+        data_factor=1, max_steps=2, init_batch_size=256,
+        batch_size_log2=11, log2_hashmap_size=12, grid_resolution=32,
+        max_hits=4, up_sample=1, max_num_rays=1 << 11, num_lobes=2,
+        root=str(tmp_path / "runs"),
+    )
+    assert cfg5.is_unbounded
+    t5 = Stage5Trainer(
+        cfg5,
+        teacher_params=ngp_init(
+            jax.random.PRNGKey(1), cfg5.teacher_config()
+        ),
+        occ_state=None,
+        mesh=mesh,
+    )
+    try:
+        loss, nh, mse = t5.train_one_step()
+        assert np.isfinite(float(loss))
+    finally:
+        t5.prefetcher.stop()
+
+
 def test_cone_t_grid_monotone_and_bounded():
     from quadraturefields_tpu.ops.grid import (
         _cone_t_grid,

@@ -1,0 +1,77 @@
+"""Decompose the cell-layout backward: 17-op sort vs 2-op sort +
+row-gather-by-permutation vs the Pallas accumulate. Host-transfer
+synced (bench.py header)."""
+import sys, time
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+from quadraturefields_tpu.ops.hashgrid_sorted import sorted_row_grad
+
+M = (1 << 18) * 16          # 4.2M contributions (bench scale)
+E = 903456                  # cell table rows at bench scale
+RW = 16
+
+key = jax.random.PRNGKey(0)
+idx = jax.random.randint(key, (M,), 0, E, jnp.int32)
+vals = jax.random.normal(jax.random.PRNGKey(1), (M, RW), jnp.float32)
+cols = tuple(vals[:, j] for j in range(RW))
+
+
+def _sync(x):
+    return float(jnp.sum(jax.tree_util.tree_leaves(x)[0]))
+
+
+def timeit(name, fn, *args, n=10):
+    t0 = time.perf_counter()
+    out = fn(*args)
+    _ = _sync(out)
+    print(f"{name}: compile+first {time.perf_counter()-t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    _ = _sync(out)
+    print(f"{name}: {(time.perf_counter()-t0)/n*1e3:.2f} ms", flush=True)
+
+
+WHICH = set(sys.argv[1:]) or {"sort17", "sort2", "gatherperm", "stack",
+                              "full", "outer"}
+
+if "sort17" in WHICH:
+    def s17(i, *cs):
+        return jax.lax.sort((i.astype(jnp.uint32),) + cs, num_keys=1)[0]
+    timeit("sort 1key+16payload 4.2M", jax.jit(s17), idx, *cols)
+
+if "sort2" in WHICH:
+    def s2(i):
+        return jax.lax.sort(
+            (i.astype(jnp.uint32),
+             jnp.arange(M, dtype=jnp.int32)), num_keys=1
+        )
+    timeit("sort 1key+iota 4.2M", jax.jit(s2), idx)
+
+if "gatherperm" in WHICH:
+    def gp(i, v):
+        _, perm = jax.lax.sort(
+            (i.astype(jnp.uint32),
+             jnp.arange(M, dtype=jnp.int32)), num_keys=1
+        )
+        return v[perm]
+    timeit("sort2 + row16 permutation gather", jax.jit(gp), idx, vals)
+
+if "stack" in WHICH:
+    def st(*cs):
+        return jnp.stack(cs, axis=-1)
+    timeit("stack 16 cols -> [M,16]", jax.jit(st), *cols)
+
+if "outer" in WHICH:
+    w8 = jax.random.normal(key, (1 << 18, 16, 8), jnp.float32)
+    g2 = jax.random.normal(key, (1 << 18, 16, 2), jnp.float32)
+    def ou(w, g):
+        return (w[..., :, None] * g[..., None, :]).reshape(-1, RW)
+    timeit("contrib outer product build", jax.jit(ou), w8, g2)
+
+if "full" in WHICH:
+    timeit("sorted_row_grad full", jax.jit(
+        lambda i, v: sorted_row_grad(i, v, E)), idx, vals)
