@@ -29,8 +29,12 @@ import functools
 
 import jax
 import jax.numpy as jnp
-try:  # jax>=0.6
-    from jax import shard_map
+try:  # jax>=0.6 (0.8 renamed check_rep -> check_vma)
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, **kw):
+        kw["check_vma"] = kw.pop("check_rep", True)
+        return _shard_map(f, **kw)
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
