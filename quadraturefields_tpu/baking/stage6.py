@@ -114,9 +114,18 @@ def segment_and_atlas(
     artifact set (segs.json, mesh_segmentation_<N>.obj, V_<N>.npy)."""
     face_seg = segment_mesh(mesh.vertices, mesh.faces, kthr=kthr,
                             min_size=min_size)
-    atlas_mesh, uv = build_uv_atlas(mesh, face_seg, texture_size)
+    atlas_mesh, uv, atlas_stats = build_uv_atlas(
+        mesh, face_seg, texture_size
+    )
     v_image, tri_image = rasterize_v_image(atlas_mesh, uv, texture_size)
+    # end-to-end texel utilization incl. boundary dilation (VERDICT
+    # round-2 #7: track what fraction of the atlas carries signal)
+    atlas_stats["raster_utilization"] = float(
+        (tri_image >= 0).mean()
+    )
     if out_dir:
+        with open(os.path.join(out_dir, "atlas_stats.json"), "w") as f:
+            json.dump(atlas_stats, f, indent=1)
         # per-vertex segIndices like the ScanNet segmentator output
         vert_seg = np.zeros((mesh.vertices.shape[0],), np.int64)
         vert_seg[mesh.faces.reshape(-1)] = np.repeat(face_seg, 3)

@@ -115,7 +115,7 @@ def test_uv_atlas_and_rasterize():
     )
     mesh = Mesh(verts, faces)
     seg = np.array([0, 0, 1, 1], np.int32)
-    atlas_mesh, uv = build_uv_atlas(mesh, seg, texture_size=128)
+    atlas_mesh, uv, _ = build_uv_atlas(mesh, seg, texture_size=128)
     assert uv.shape == (atlas_mesh.vertices.shape[0], 2)
     assert uv.min() >= 0 and uv.max() < 128
 
