@@ -199,6 +199,173 @@ def bench_stage1():
     return nv_val / dt, window_times
 
 
+def _orbit_batches(n_rays: int, n_batches: int = 4, dist: float = 4.0,
+                   seed: int = 0):
+    """Pool of synthetic ray batches aimed at the object (precomputed:
+    the axon host CPU is throttled, keep per-step host work to reuse)."""
+    from quadraturefields_tpu.data.nerf_synthetic import Rays
+
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n_batches):
+        theta = rng.uniform(0, 2 * np.pi, n_rays)
+        phi = rng.uniform(0.5, 2.6, n_rays)
+        eye = np.stack(
+            [
+                dist * np.cos(theta) * np.sin(phi),
+                dist * np.sin(theta) * np.sin(phi),
+                dist * np.cos(phi),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        target = rng.uniform(-0.3, 0.3, (n_rays, 3)).astype(np.float32)
+        d = target - eye
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        out.append({
+            "rays": Rays(origins=eye, viewdirs=d.astype(np.float32)),
+            "pixels": rng.random((n_rays, 3)).astype(np.float32),
+            "color_bkgd": np.ones(3, np.float32),
+        })
+    return out
+
+
+class _PooledLoader:
+    """Dataset shim for the stage-4/5 benches: cycles a fixed pool of
+    ray batches and pins num_rays (no dynamic resize — one jit shape)."""
+
+    def __init__(self, batches):
+        self.batches = batches
+        self.num_rays = batches[0]["rays"].origins.shape[0]
+        self._i = 0
+
+    def fetch_train_batch(self):
+        b = self.batches[self._i % len(self.batches)]
+        self._i += 1
+        return b
+
+    def update_num_rays(self, n):
+        pass
+
+
+def bench_stage4(n_rays_log2: int = 17, n_iters: int = 8):
+    """Stage-4 finetune step throughput at the reference hot-path shape
+    (2^17 rays x 25 hits, reference utils.py:465-607 +
+    train_finetune.py:307-317), real trainer + HitPrefetcher, joint
+    (unfrozen) step. Returns (rays/s, hits/s, bvh_rays/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from quadraturefields_tpu.geometry.meshio import Mesh
+    from quadraturefields_tpu.models.ngp import ngp_init
+    from quadraturefields_tpu.ops.grid import OccGridState
+    from quadraturefields_tpu.train.stage4_finetune import (
+        Stage4Config,
+        Stage4Trainer,
+    )
+
+    n_rays = 1 << n_rays_log2
+    cfg = Stage4Config(
+        scene_type="synthetic", freeze_rf_steps=0,
+        init_batch_size=n_rays, scale=1.0,
+    )
+    verts, faces = _bumpy_sphere(200)
+    loader = _PooledLoader(_orbit_batches(n_rays))
+    key = jax.random.PRNGKey(0)
+    ngp_params = ngp_init(key, cfg.ngp_config())
+    res = cfg.grid_resolution
+    aabb = cfg.aabb
+    grid = np.stack(
+        np.meshgrid(*([np.linspace(aabb[0], aabb[3], res)] * 3),
+                    indexing="ij"),
+        axis=-1,
+    ).reshape(-1, 3)
+    occ = (np.linalg.norm(grid, axis=-1) < 1.05).astype(np.float32)
+    occ_state = OccGridState(
+        occs=jnp.asarray(occ),
+        binaries=jnp.asarray(occ.reshape(res, res, res) > 0),
+        aabb=jnp.asarray(aabb),
+    )
+    trainer = Stage4Trainer(
+        cfg, ngp_params=ngp_params, occ_state=occ_state,
+        mesh=Mesh(verts, faces), train_dataset=loader,
+        test_dataset=loader,
+    )
+    try:
+        trainer.train_one_step()  # compile both step + occ update
+        windows = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n_iters):
+                _, nh, _ = trainer.train_one_step()
+            windows.append(time.perf_counter() - t0)
+        dt = sorted(windows)[1] / n_iters
+
+        # standalone host BVH throughput at the same shape (VERDICT #4:
+        # host-vs-device balance as a recorded number)
+        b = loader.fetch_train_batch()
+        t0 = time.perf_counter()
+        trainer.mesh_intersect.intersect_rows(
+            b["rays"].origins, b["rays"].viewdirs
+        )
+        bvh_rps = n_rays / (time.perf_counter() - t0)
+    finally:
+        trainer.prefetcher.stop()
+    return n_rays / dt, nh / dt, bvh_rps
+
+
+def bench_stage5(n_rays_log2: int = 17, n_iters: int = 8):
+    """Stage-5 SG-fit step throughput at 2^17 rays x 25 hits, 6 lobes
+    (run_*_fit_sg.sh), real trainer + HitPrefetcher."""
+    import jax
+    import jax.numpy as jnp
+
+    from quadraturefields_tpu.geometry.meshio import Mesh
+    from quadraturefields_tpu.models.ngp import ngp_init
+    from quadraturefields_tpu.ops.grid import OccGridState
+    from quadraturefields_tpu.train.stage5_fit_sg import (
+        Stage5Config,
+        Stage5Trainer,
+    )
+
+    n_rays = 1 << n_rays_log2
+    cfg = Stage5Config(
+        scene_type="synthetic", init_batch_size=n_rays, scale=1.0,
+    )
+    verts, faces = _bumpy_sphere(200)
+    loader = _PooledLoader(_orbit_batches(n_rays))
+    key = jax.random.PRNGKey(0)
+    teacher = ngp_init(key, cfg.teacher_config())
+    res = cfg.grid_resolution
+    aabb = cfg.aabb
+    grid = np.stack(
+        np.meshgrid(*([np.linspace(aabb[0], aabb[3], res)] * 3),
+                    indexing="ij"),
+        axis=-1,
+    ).reshape(-1, 3)
+    occ = (np.linalg.norm(grid, axis=-1) < 1.05).astype(np.float32)
+    occ_state = OccGridState(
+        occs=jnp.asarray(occ),
+        binaries=jnp.asarray(occ.reshape(res, res, res) > 0),
+        aabb=jnp.asarray(aabb),
+    )
+    trainer = Stage5Trainer(
+        cfg, teacher_params=teacher, occ_state=occ_state,
+        mesh=Mesh(verts, faces), train_dataset=loader,
+    )
+    try:
+        trainer.train_one_step()
+        windows = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n_iters):
+                _, nh, _ = trainer.train_one_step()
+            windows.append(time.perf_counter() - t0)
+        dt = sorted(windows)[1] / n_iters
+    finally:
+        trainer.prefetcher.stop()
+    return n_rays / dt, nh / dt
+
+
 def _bumpy_sphere(n: int = 200, radius: float = 0.9, seed: int = 0):
     """UV-sphere with low-frequency radial displacement (~2*n^2 faces),
     a stand-in for a decimated stage-3 mesh."""
@@ -241,7 +408,11 @@ def bench_baked_fps():
     from quadraturefields_tpu.geometry.meshio import Mesh
     from quadraturefields_tpu.models.ngp import NGPConfig
 
-    num_lobes = 2
+    # reference contract config: 3 SG lobes (run_shelly_fit_sg.sh:12,
+    # 3-6 range) and max_hits=25 (run_nerfsynthetic_finetune.sh,
+    # mesh_utils.py:350-354). With the packed-hit stream the device
+    # work scales with ACTUAL hits, so the cap costs only pack slack.
+    num_lobes = 3
     texture_size = 4096
     verts, faces = _bumpy_sphere(200)
     mesh = Mesh(verts, faces)
@@ -285,7 +456,7 @@ def bench_baked_fps():
 
     sg_cfg = NGPConfig(head="sg", num_g_lobes=num_lobes)
     renderer = BakedRenderer(
-        atlas_mesh, uv, comp, sg_cfg, max_hits=8,
+        atlas_mesh, uv, comp, sg_cfg, max_hits=25,
         render_step_size=5e-3,
     )
 
@@ -446,6 +617,14 @@ def main():
         fps, fps_times, device_fps = bench_baked_fps()
     except Exception as e:  # never lose the primary metric
         fps, fps_times, device_fps = None, [repr(e)], None
+    try:
+        s4_rays, s4_hits, bvh_rps = bench_stage4()
+    except Exception as e:
+        s4_rays, s4_hits, bvh_rps = None, repr(e), None
+    try:
+        s5_rays, s5_hits = bench_stage5()
+    except Exception as e:
+        s5_rays, s5_hits = None, repr(e)
 
     out = {
         "metric": "stage1_train_samples_per_sec",
@@ -463,6 +642,23 @@ def main():
                 round(device_fps, 2) if device_fps is not None else None
             ),
             "stage1_window_s": [round(t, 3) for t in s1_windows],
+            "stage4_rays_per_sec": (
+                round(s4_rays, 1) if s4_rays is not None else None
+            ),
+            "stage4_hits_per_sec": (
+                round(s4_hits, 1)
+                if isinstance(s4_hits, float) else s4_hits
+            ),
+            "stage5_rays_per_sec": (
+                round(s5_rays, 1) if s5_rays is not None else None
+            ),
+            "stage5_hits_per_sec": (
+                round(s5_hits, 1)
+                if isinstance(s5_hits, float) else s5_hits
+            ),
+            "bvh_host_rays_per_sec": (
+                round(bvh_rps, 1) if bvh_rps is not None else None
+            ),
             "baked_frame_s": [
                 round(t, 4) if isinstance(t, float) else t
                 for t in fps_times

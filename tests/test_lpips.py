@@ -58,3 +58,86 @@ def test_trainer_metric_keys(tmp_path, monkeypatch):
         np.zeros((4, 4, 3), np.float32), np.zeros((4, 4, 3), np.float32)
     )
     assert np.isnan(v)
+
+
+def test_converter_layout_and_torch_parity(tmp_path):
+    """Validate tools/convert_lpips_weights.py against the REAL
+    state-dict naming conventions (torchvision VGG16 `features.{i}.*`,
+    lpips `lin{k}.model.1.weight`) and the JAX LPIPS against a torch
+    mirror of the official lpips forward (ScalingLayer constants,
+    unit-normalize, 1x1 calibration conv, spatial average, tap sum —
+    lpips/lpips.py). Random weights: this pins ARCHITECTURE parity;
+    real-weight goldens need the actual .pth files (converter
+    docstring). VERDICT round-2 #6."""
+    torch = pytest.importorskip("torch")
+    import sys
+
+    sys.path.insert(0, "tools")
+    from convert_lpips_weights import _VGG16_CONV_IDX, convert
+
+    rng = np.random.default_rng(0)
+    vgg_sd = {}
+    in_ch = 3
+    for out_ch, idx in _VGG16_CONVS:
+        vgg_sd[f"features.{idx}.weight"] = torch.tensor(
+            rng.normal(0, 0.05, (out_ch, in_ch, 3, 3)).astype(np.float32)
+        )
+        vgg_sd[f"features.{idx}.bias"] = torch.tensor(
+            rng.normal(0, 0.01, (out_ch,)).astype(np.float32)
+        )
+        in_ch = out_ch
+    lin_sd = {
+        f"lin{k}.model.1.weight": torch.tensor(
+            rng.uniform(0, 0.1, (1, ch, 1, 1)).astype(np.float32)
+        )
+        for k, ch in enumerate((64, 128, 256, 512, 512))
+    }
+    vgg_path = str(tmp_path / "vgg16.pth")
+    lin_path = str(tmp_path / "lpips_vgg.pth")
+    out_path = str(tmp_path / "out.npz")
+    torch.save(vgg_sd, vgg_path)
+    torch.save(lin_sd, lin_path)
+    convert(vgg_path, lin_path, out_path)
+    npz = np.load(out_path)
+    assert set(npz.files) == {
+        f"features.{i}.{p}"
+        for i in _VGG16_CONV_IDX for p in ("weight", "bias")
+    } | {f"lin{k}.weight" for k in range(5)}
+
+    # torch mirror of lpips.LPIPS(net='vgg').forward
+    def torch_lpips(a, b):
+        import torch.nn.functional as F
+
+        shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+        scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+        def feats(img):
+            h = (img * 2.0 - 1.0 - shift) / scale
+            taps = []
+            for out_ch, idx in _VGG16_CONVS:
+                h = F.conv2d(h, vgg_sd[f"features.{idx}.weight"],
+                             vgg_sd[f"features.{idx}.bias"], padding=1)
+                h = F.relu(h)
+                if idx in (2, 7, 14, 21, 28):
+                    taps.append(h)
+                if idx in (2, 7, 14, 21):
+                    h = F.max_pool2d(h, 2)
+            return taps
+
+        total = 0.0
+        for k, (f0, f1) in enumerate(zip(feats(a), feats(b))):
+            n0 = f0 / (f0.square().sum(1, keepdim=True).sqrt() + 1e-10)
+            n1 = f1 / (f1.square().sum(1, keepdim=True).sqrt() + 1e-10)
+            d = (n0 - n1).square()
+            w = lin_sd[f"lin{k}.model.1.weight"]
+            total = total + (d * w).sum(1).mean()
+        return float(total)
+
+    a = rng.random((36, 36, 3)).astype(np.float32)
+    b = rng.random((36, 36, 3)).astype(np.float32)
+    ta = torch.tensor(a).permute(2, 0, 1)[None]
+    tb = torch.tensor(b).permute(2, 0, 1)[None]
+    want = torch_lpips(ta, tb)
+    m = LPIPS(weights_path=out_path)
+    got = float(m(a, b))
+    assert got == pytest.approx(want, rel=2e-3), (got, want)

@@ -1,6 +1,7 @@
 """Decompose the cell-layout backward: 17-op sort vs 2-op sort +
 row-gather-by-permutation vs the Pallas accumulate. Host-transfer
 synced (bench.py header)."""
+import functools
 import sys, time
 import jax
 import jax.numpy as jnp
@@ -75,3 +76,56 @@ if "outer" in WHICH:
 if "full" in WHICH:
     timeit("sorted_row_grad full", jax.jit(
         lambda i, v: sorted_row_grad(i, v, E)), idx, vals)
+
+if "sweep" in WHICH:
+    for J in (1024, 2048, 4096):
+        for WIN in (256,):
+            timeit(
+                f"sorted_row_grad J={J} W={WIN}",
+                jax.jit(functools.partial(
+                    sorted_row_grad, total_entries=E,
+                    j_tile=J, window=WIN,
+                )),
+                idx, vals,
+            )
+
+if "dense128" in WHICH:
+    # same value volume, rw=128 (epr=1): dense VMEM blocks, no lane
+    # masking — isolates the narrow-block DMA/layout cost
+    M2 = M // 8
+    E2 = E // 8 + 1
+    idx2 = jax.random.randint(key, (M2,), 0, E2, jnp.int32)
+    vals2 = jax.random.normal(jax.random.PRNGKey(2), (M2, 128),
+                              jnp.float32)
+    timeit(
+        "sorted_row_grad rw=128 (same bytes)",
+        jax.jit(functools.partial(
+            sorted_row_grad, total_entries=E2,
+        )),
+        idx2, vals2,
+    )
+
+if "fullpacked" in WHICH:
+    timeit("sorted_row_grad full packed f32", jax.jit(
+        lambda i, v: sorted_row_grad(i, v, E)), idx, vals)
+    timeit("sorted_row_grad full packed split2", jax.jit(
+        lambda i, v: sorted_row_grad(i, v, E, matmul="split2")),
+        idx, vals)
+
+if "prec" in WHICH:
+    for mm in ("bf16", "split2", "f32"):
+        timeit(
+            f"sorted_row_grad matmul={mm}",
+            jax.jit(functools.partial(
+                sorted_row_grad, total_entries=E, matmul=mm,
+            )),
+            idx, vals,
+        )
+
+if "packedvs" in WHICH:
+    # round-3 packed-input kernel vs the narrow-block kernel, full
+    # sorted_row_grad at bench scale
+    timeit("full packed=True", jax.jit(functools.partial(
+        sorted_row_grad, total_entries=E, packed=True)), idx, vals)
+    timeit("full packed=False", jax.jit(functools.partial(
+        sorted_row_grad, total_entries=E, packed=False)), idx, vals)
