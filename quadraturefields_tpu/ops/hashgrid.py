@@ -365,10 +365,14 @@ def _cell_bwd(cfg: HashGridConfig, saved, g):
     n = x.shape[0]
     L, F, RW = cfg.n_levels, cfg.n_features, cfg.row_width
     g32 = g.astype(jnp.float32)
-    # contribution rows: r[n, l, c*F+f] = w8[n, l*8+c] * g[n, l*F+f]
+    # contribution rows: r[nl, c*F+f] = w8[nl, c] * g[nl, f], built in
+    # 2D (lane repeat/tile) — the [n, L, 8, F] outer-product form
+    # tile-pads its (8, F) minor dims to (8, 128), a 64x HBM blowup
+    # measured at 23 ms/step (tools/profile_cell_bwd.py "outer")
     contrib = (
-        w8.reshape(n, L, 8, 1) * g32.reshape(n, L, 1, F)
-    ).reshape(n * L, RW)
+        jnp.repeat(w8.reshape(n * L, 8), F, axis=1)
+        * jnp.tile(g32.reshape(n * L, F), (1, 8))
+    )
     flat_idx = idx.reshape(-1)
 
     mode = cfg.grad_mode

@@ -85,7 +85,7 @@ def _acc_kernel(win_ref, slice_ref, k_ref, v0_ref, v1_ref, out_ref):
     out_ref[:] = out_ref[:] + acc
 
 
-def _merge_path(first_rows, n_tiles: int, n_blocks: int):
+def _merge_path(first_rows, n_tiles: int, n_blocks: int, window: int = W):
     """Grid schedule: (window_ids, slice_ids), each [n_tiles+n_blocks-1].
 
     Merge-path over tile-start events (at block coordinate
@@ -94,7 +94,7 @@ def _merge_path(first_rows, n_tiles: int, n_blocks: int):
     exactly at a block start still gets visited there), the running
     counts of each event type ARE the per-step (tile, window) pointers.
     """
-    fb = first_rows // W                           # [G] tile start block
+    fb = first_rows // window                      # [G] tile start block
     pos = jnp.concatenate([
         fb[1:], jnp.arange(1, n_blocks, dtype=fb.dtype)
     ])
@@ -115,7 +115,8 @@ def _merge_path(first_rows, n_tiles: int, n_blocks: int):
 
 def _row_acc_kernel(
     win_ref, slice_ref, krow_ref, kcol_ref, vals_ref, out_ref,
-    *, row_width: int, j_tile: int,
+    *, row_width: int, j_tile: int, window: int = W,
+    matmul: str = "f32",
 ):
     """One grid step: place a [J, RW] tile of sorted row-contributions
     into the current [W, 128] window with a single one-hot matmul.
@@ -137,8 +138,8 @@ def _row_acc_kernel(
     epr = LANES // row_width                      # entries per 128-lane row
     e_row = krow_ref[0].astype(jnp.int32)         # [1, J]
     e_col = kcol_ref[:, 0:1].astype(jnp.int32)    # [J, 1]
-    rel = e_row // epr - win_ref[i] * W           # [1, J] window rows
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (W, j_tile), 0)
+    rel = e_row // epr - win_ref[i] * window      # [1, J] window rows
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (window, j_tile), 0)
     A = (row_iota == rel).astype(jnp.float32)     # [W, J]
     vt = pltpu.repeat(vals_ref[:], epr, 1)        # [J, 128] lane-tiled
     lane_iota = jax.lax.broadcasted_iota(
@@ -147,13 +148,96 @@ def _row_acc_kernel(
     D = jnp.where(
         lane_iota // row_width == e_col % epr, vt, 0.0
     )                                             # [J, 128]
-    out_ref[:] = out_ref[:] + jax.lax.dot_general(
-        A, D, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    dn = (((1,), (0,)), ((), ()))
+    if matmul == "f32":
+        # full-precision f32 matmul: the MXU runs it as a multi-pass
+        # bf16 decomposition — exact but ~3x the MACs of split2
+        acc = jax.lax.dot_general(
+            A, D, dn, preferred_element_type=jnp.float32,
+        )
+    else:
+        # A is one-hot 0/1, exact in bf16; split D = hi + lo bf16 so
+        # each selected value is reproduced with ~16 mantissa bits
+        # (vs f32's 24) and accumulation stays f32 on the MXU.
+        Ab = A.astype(jnp.bfloat16)
+        hi = D.astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(
+            Ab, hi, dn, preferred_element_type=jnp.float32,
+        )
+        if matmul == "split2":
+            lo = (D - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot_general(
+                Ab, lo, dn, preferred_element_type=jnp.float32,
+            )
+    out_ref[:] = out_ref[:] + acc
 
 
-def sorted_row_grad(idx, vals, total_entries: int):
+def _row_acc_kernel_packed(
+    win_ref, slice_ref, keys_t_ref, keys_q_ref, vals_ref, out_ref,
+    *, row_width: int, j_tile: int, window: int = W,
+    matmul: str = "f32",
+):
+    """Dense-input variant of _row_acc_kernel (round-3: the [J, rw]
+    narrow value blocks cost ~5x their bytes in DMA/layout —
+    tools/profile_cell_bwd2.py: 23.2 ms narrow vs 4.9 ms dense for the
+    same payload). Contributions arrive packed `spr` per 128-lane row:
+    vals row q holds contributions q*spr..q*spr+spr-1, contribution
+    slot s at lanes [s*rw, (s+1)*rw). Keys arrive twice (both tiny):
+    keys_t [spr, Q] lane-major for the one-hot row build, keys_q
+    [Q, spr] sublane-major for the target-lane-block mask.
+
+    Per slot s: A_s [window, Q] one-hot on window rows, D_s [Q, 128] =
+    slot values lane-tiled and masked to the entry's lane block; the
+    slot matmuls accumulate into the same [window, 128] window, so the
+    MXU MAC count is identical to the narrow kernel's.
+    """
+    i = pl.program_id(0)
+    prev = win_ref[jnp.maximum(i - 1, 0)]
+    is_new = (i == 0) | (win_ref[i] != prev)
+
+    @pl.when(is_new)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    epr = LANES // row_width
+    spr = LANES // row_width                      # contribution slots/row
+    q = j_tile // spr
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (window, q), 0)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (q, LANES), 1)
+    win_row0 = win_ref[i] * window
+    dn = (((1,), (0,)), ((), ()))
+    acc = jnp.zeros((window, LANES), jnp.float32)
+    for s in range(spr):
+        e_row = keys_t_ref[s:s + 1, :].astype(jnp.int32)   # [1, Q]
+        rel = e_row // epr - win_row0
+        A = (row_iota == rel)
+        e_col = keys_q_ref[:, s:s + 1].astype(jnp.int32)   # [Q, 1]
+        vt = pltpu.repeat(
+            vals_ref[:, s * row_width:(s + 1) * row_width], spr, 1
+        )                                                  # [Q, 128]
+        D = jnp.where(lane_iota // row_width == e_col % epr, vt, 0.0)
+        if matmul == "f32":
+            acc = acc + jax.lax.dot_general(
+                A.astype(jnp.float32), D, dn,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            Ab = A.astype(jnp.bfloat16)
+            hi = D.astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot_general(
+                Ab, hi, dn, preferred_element_type=jnp.float32,
+            )
+            if matmul == "split2":
+                lo = (D - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                acc = acc + jax.lax.dot_general(
+                    Ab, lo, dn, preferred_element_type=jnp.float32,
+                )
+    out_ref[:] = out_ref[:] + acc
+
+
+def sorted_row_grad(idx, vals, total_entries: int, *,
+                    j_tile: int = 512, window: int = W,
+                    matmul: str = "f32", packed: bool = True):
     """Segment-sum row contributions into a [total_entries, RW] table
     gradient: one lax.sort by entry id + the one-hot-matmul window
     accumulate above. RW = vals.shape[1] must divide 128.
@@ -167,14 +251,20 @@ def sorted_row_grad(idx, vals, total_entries: int):
     m, rw = vals.shape
     assert LANES % rw == 0, rw
     epr = LANES // rw
-    J = 512                                        # contributions per tile
+    J = j_tile                                     # contributions per tile
+    if packed:
+        # Mosaic requires the keys_t block's lane dim (q = J/spr) to be
+        # a multiple of 128; bump the tile so q lands on 128
+        spr_ = LANES // rw
+        q_ = -(-max(J // spr_, 1) // 128) * 128
+        J = q_ * spr_
     pad = (-m) % J
     tot_rows = -(-total_entries // epr)
-    n_blocks = -(-tot_rows // W)
-    rows_pad = n_blocks * W
+    n_blocks = -(-tot_rows // window)
+    rows_pad = n_blocks * window
     if pad:
         idx = jnp.concatenate([
-            idx, jnp.full((pad,), (rows_pad + W) * epr, jnp.int32)
+            idx, jnp.full((pad,), (rows_pad + window) * epr, jnp.int32)
         ])
         vals = jnp.concatenate(
             [vals, jnp.zeros((pad, rw), vals.dtype)]
@@ -190,33 +280,75 @@ def sorted_row_grad(idx, vals, total_entries: int):
     svals = jnp.stack(sorted_ops[1:], axis=-1)     # [mm, RW]
 
     first_rows = keys[::J].astype(jnp.int32) // epr
-    window_ids, slice_ids = _merge_path(first_rows, n_tiles, n_blocks)
+    window_ids, slice_ids = _merge_path(
+        first_rows, n_tiles, n_blocks, window
+    )
 
     grid = n_tiles + n_blocks - 1
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((1, 1, J), lambda i, w, s: (s[i], 0, 0)),
-            pl.BlockSpec((J, 1), lambda i, w, s: (s[i], 0)),
-            pl.BlockSpec((J, rw), lambda i, w, s: (s[i], 0)),
-        ],
-        out_specs=pl.BlockSpec((W, LANES), lambda i, w, s: (w[i], 0)),
-    )
-    out = pl.pallas_call(
-        functools.partial(
-            _row_acc_kernel, row_width=rw, j_tile=J
-        ),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((rows_pad, LANES), jnp.float32),
-        interpret=_use_interpret(),
-    )(
-        window_ids,
-        slice_ids,
-        keys.reshape(n_tiles, 1, J),
-        keys.reshape(n_tiles * J, 1),
-        svals.reshape(n_tiles * J, rw),
-    )
+    if packed:
+        spr = LANES // rw
+        q = J // spr
+        keys_q = keys.reshape(mm // spr, spr)
+        keys_t = keys_q.T                          # [spr, mm/spr]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((spr, q), lambda i, w, s: (0, s[i])),
+                pl.BlockSpec((q, spr), lambda i, w, s: (s[i], 0)),
+                pl.BlockSpec((q, LANES), lambda i, w, s: (s[i], 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (window, LANES), lambda i, w, s: (w[i], 0)
+            ),
+        )
+        out = pl.pallas_call(
+            functools.partial(
+                _row_acc_kernel_packed, row_width=rw, j_tile=J,
+                window=window, matmul=matmul,
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (rows_pad, LANES), jnp.float32
+            ),
+            interpret=_use_interpret(),
+        )(
+            window_ids,
+            slice_ids,
+            keys_t,
+            keys_q,
+            svals.reshape(mm // spr, LANES),
+        )
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((1, 1, J), lambda i, w, s: (s[i], 0, 0)),
+                pl.BlockSpec((J, 1), lambda i, w, s: (s[i], 0)),
+                pl.BlockSpec((J, rw), lambda i, w, s: (s[i], 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (window, LANES), lambda i, w, s: (w[i], 0)
+            ),
+        )
+        out = pl.pallas_call(
+            functools.partial(
+                _row_acc_kernel, row_width=rw, j_tile=J, window=window,
+                matmul=matmul,
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (rows_pad, LANES), jnp.float32
+            ),
+            interpret=_use_interpret(),
+        )(
+            window_ids,
+            slice_ids,
+            keys.reshape(n_tiles, 1, J),
+            keys.reshape(n_tiles * J, 1),
+            svals.reshape(n_tiles * J, rw),
+        )
     flat = out.reshape(-1)[: total_entries * rw]
     return flat.reshape(total_entries, rw)
 

@@ -129,3 +129,46 @@ if "packedvs" in WHICH:
         sorted_row_grad, total_entries=E, packed=True)), idx, vals)
     timeit("full packed=False", jax.jit(functools.partial(
         sorted_row_grad, total_entries=E, packed=False)), idx, vals)
+
+if "v2" in WHICH:
+    # round-3 v2: 2-op sort + permutation row gather feeding the packed
+    # kernel, vs the 17-op payload sort
+    timeit("full v2 perm+packed", jax.jit(functools.partial(
+        sorted_row_grad, total_entries=E, sort_mode="perm")), idx, vals)
+
+if "v2parts" in WHICH:
+    def permgather(i, v):
+        k, p = jax.lax.sort(
+            (i.astype(jnp.uint32), jnp.arange(M, dtype=jnp.int32)),
+            num_keys=1)
+        return k, v[p]
+    timeit("sort2+rowgather only", jax.jit(permgather), idx, vals)
+
+    def packreshape(i, v):
+        k, p = jax.lax.sort(
+            (i.astype(jnp.uint32), jnp.arange(M, dtype=jnp.int32)),
+            num_keys=1)
+        return k, v[p].reshape(M // 8, 128)
+    timeit("sort2+rowgather+packreshape", jax.jit(packreshape), idx, vals)
+
+    def transp(i):
+        k, p = jax.lax.sort(
+            (i.astype(jnp.uint32), jnp.arange(M, dtype=jnp.int32)),
+            num_keys=1)
+        return k.reshape(M // 8, 8).T
+    timeit("sort2+keysT", jax.jit(transp), idx)
+
+if "outer2" in WHICH:
+    # 2D contribution build (hashgrid.py fix) vs the 4D layout
+    L8, F2 = 16, 2
+    npt = M // L8
+    w8 = jax.random.normal(key, (npt, L8 * 8), jnp.float32)
+    g2 = jax.random.normal(key, (npt, L8 * F2), jnp.float32)
+    def ou4(w, g):
+        return (w.reshape(npt, L8, 8, 1)
+                * g.reshape(npt, L8, 1, F2)).reshape(npt * L8, 16)
+    def ou2(w, g):
+        return (jnp.repeat(w.reshape(npt * L8, 8), F2, axis=1)
+                * jnp.tile(g.reshape(npt * L8, F2), (1, 8)))
+    timeit("outer 4D (old)", jax.jit(ou4), w8, g2)
+    timeit("outer 2D (new)", jax.jit(ou2), w8, g2)
