@@ -368,7 +368,7 @@ def _cell_bwd(cfg: HashGridConfig, saved, g):
     # contribution rows: r[nl, c*F+f] = w8[nl, c] * g[nl, f], built in
     # 2D (lane repeat/tile) — the [n, L, 8, F] outer-product form
     # tile-pads its (8, F) minor dims to (8, 128), a 64x HBM blowup
-    # measured at 23 ms/step (tools/profile_cell_bwd.py "outer")
+    # measured at 23 ms/step (tools/profiles/profile_cell_bwd.py "outer")
     contrib = (
         jnp.repeat(w8.reshape(n * L, 8), F, axis=1)
         * jnp.tile(g32.reshape(n * L, F), (1, 8))

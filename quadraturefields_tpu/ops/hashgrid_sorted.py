@@ -2,7 +2,7 @@
 
 The hash-table gradient is a segment-sum of ~16.8M (entry, value)
 contributions into ~7.3M table entries. XLA's TPU scatter-add costs
-~8.6 ns per scalar index (measured, tools/profile_r2c.py), i.e.
+~8.6 ns per scalar index (measured, tools/profiles/profile_r2c.py), i.e.
 ~290 ms/step at stage-1 scale — the single largest cost of NGP
 training on v5e (reference hot loop: tcnn's fused backward,
 examples/radiance_fields/ngp.py:340-358).
@@ -179,7 +179,7 @@ def _row_acc_kernel_packed(
 ):
     """Dense-input variant of _row_acc_kernel (round-3: the [J, rw]
     narrow value blocks cost ~5x their bytes in DMA/layout —
-    tools/profile_cell_bwd2.py: 23.2 ms narrow vs 4.9 ms dense for the
+    tools/profiles/profile_cell_bwd2.py: 23.2 ms narrow vs 4.9 ms dense for the
     same payload). Contributions arrive packed `spr` per 128-lane row:
     vals row q holds contributions q*spr..q*spr+spr-1, contribution
     slot s at lanes [s*rw, (s+1)*rw). Keys arrive twice (both tiny):

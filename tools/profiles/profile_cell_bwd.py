@@ -172,3 +172,77 @@ if "outer2" in WHICH:
                 * jnp.tile(g.reshape(npt * L8, F2), (1, 8)))
     timeit("outer 4D (old)", jax.jit(ou4), w8, g2)
     timeit("outer 2D (new)", jax.jit(ou2), w8, g2)
+
+if "sortbytes" in WHICH:
+    # is the 17-op sort byte-bound? 9-op (key + 8 u32-packed-bf16
+    # pairs) moves half the payload bytes
+    def s9(i, v):
+        vb = v.astype(jnp.bfloat16)
+        u = jax.lax.bitcast_convert_type(
+            vb.reshape(M, 8, 2), jnp.uint32
+        ).reshape(M, 8)
+        ops = (i.astype(jnp.uint32),) + tuple(
+            u[:, c] for c in range(8)
+        )
+        return jax.lax.sort(ops, num_keys=1)[0]
+    timeit("sort 1key+8xu32(bf16 pairs)", jax.jit(s9), idx, vals)
+
+if "sorthalfM" in WHICH:
+    # L8F4 regime: half the elements, same total payload bytes
+    M2 = M // 2
+    idx2 = jax.random.randint(key, (M2,), 0, E, jnp.int32)
+    cols32 = tuple(
+        jax.random.normal(jax.random.PRNGKey(c), (M2,), jnp.float32)
+        for c in range(32)
+    )
+    def s33(i, *cs):
+        return jax.lax.sort((i.astype(jnp.uint32),) + cs, num_keys=1)[0]
+    timeit("sort 1key+32payload 2.1M", jax.jit(s33), idx2, *cols32)
+
+if "kernelpacked" in WHICH:
+    # packed kernel on PRE-SORTED input: isolates kernel cost from sort
+    import jax.numpy as jnp2
+    sk = jnp.sort(idx.astype(jnp.uint32))
+    from quadraturefields_tpu.ops import hashgrid_sorted as hs
+
+    def kp(keys_sorted, v):
+        mm = keys_sorted.shape[0]
+        spr = 8
+        J = 1024
+        n_tiles = mm // J
+        epr = 8
+        tot_rows = -(-E // epr)
+        n_blocks = -(-tot_rows // hs.W)
+        rows_pad = n_blocks * hs.W
+        first_rows = keys_sorted[::J].astype(jnp.int32) // epr
+        window_ids, slice_ids = hs._merge_path(
+            first_rows, n_tiles, n_blocks, hs.W
+        )
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        keys_q = keys_sorted.reshape(mm // spr, spr)
+        keys_t = keys_q.T
+        q = J // spr
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles + n_blocks - 1,),
+            in_specs=[
+                pl.BlockSpec((spr, q), lambda i, w, s: (0, s[i])),
+                pl.BlockSpec((q, spr), lambda i, w, s: (s[i], 0)),
+                pl.BlockSpec((q, hs.LANES), lambda i, w, s: (s[i], 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (hs.W, hs.LANES), lambda i, w, s: (w[i], 0)
+            ),
+        )
+        return pl.pallas_call(
+            functools.partial(
+                hs._row_acc_kernel_packed, row_width=16, j_tile=J,
+                window=hs.W, matmul="f32",
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((rows_pad, hs.LANES),
+                                           jnp.float32),
+        )(window_ids, slice_ids, keys_t, keys_q,
+          v.reshape(mm // spr, 128))
+    timeit("kernel-only packed presorted", jax.jit(kp), sk, vals)
