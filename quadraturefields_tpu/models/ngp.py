@@ -56,6 +56,9 @@ class NGPConfig:
     # features, so the row count drops by 3 bits — equal parameters,
     # fewer (wider) gathers.
     layout: str = "corner"
+    # cell-layout table-gradient contribution precision (hashgrid.py):
+    # "f32" exact | "bf16pair" packed bf16 pairs (~1.6x cheaper sort)
+    grad_payload: str = "f32"
 
     @property
     def hashgrid(self) -> HashGridConfig:
@@ -72,6 +75,7 @@ class NGPConfig:
             interp=self.interp,
             grad_mode=self.grad_mode,
             layout=self.layout,
+            grad_payload=self.grad_payload,
         )
 
     @property

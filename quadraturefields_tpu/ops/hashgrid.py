@@ -79,6 +79,12 @@ class HashGridConfig:
     #              "corner" means 8 x fewer rows: log2_hashmap_size
     #              here counts ROWS, so pass log2_T(corner) - 3.
     layout: str = "corner"
+    # Table-gradient contribution precision (cell layout + sorted mode
+    # only): "f32" = exact contributions through a 17-operand sort;
+    # "bf16pair" = per-corner feature pairs packed as one u32 of two
+    # bf16s through a 9-operand sort (~1.6x cheaper; accumulation
+    # stays f32 — the regime tcnn's fp16 atomics already accept).
+    grad_payload: str = "f32"
 
     @property
     def corners(self) -> int:
@@ -102,6 +108,7 @@ class HashGridConfig:
         interp: str = "cube",
         grad_mode: str = "auto",
         layout: str = "corner",
+        grad_payload: str = "f32",
     ) -> "HashGridConfig":
         """per_level_scale = exp((ln max_res - ln base_res)/(L-1)),
         the reference's derivation (ngp.py:320-322, field.py:154)."""
@@ -119,6 +126,7 @@ class HashGridConfig:
             interp=interp,
             grad_mode=grad_mode,
             layout=layout,
+            grad_payload=grad_payload,
         )
 
     @property
@@ -365,33 +373,49 @@ def _cell_bwd(cfg: HashGridConfig, saved, g):
     n = x.shape[0]
     L, F, RW = cfg.n_levels, cfg.n_features, cfg.row_width
     g32 = g.astype(jnp.float32)
-    # contribution rows: r[nl, c*F+f] = w8[nl, c] * g[nl, f], built in
-    # 2D (lane repeat/tile) — the [n, L, 8, F] outer-product form
-    # tile-pads its (8, F) minor dims to (8, 128), a 64x HBM blowup
-    # measured at 23 ms/step (tools/profiles/profile_cell_bwd.py "outer")
-    contrib = (
-        jnp.repeat(w8.reshape(n * L, 8), F, axis=1)
-        * jnp.tile(g32.reshape(n * L, F), (1, 8))
-    )
     flat_idx = idx.reshape(-1)
 
     mode = cfg.grad_mode
     if mode == "auto":
         on_accel = jax.default_backend() != "cpu"
         mode = "sorted" if on_accel else "exact"
-    if mode == "sorted":
-        from .hashgrid_sorted import sorted_row_grad
+    if mode == "sorted" and cfg.grad_payload == "bf16pair" and F == 2:
+        # feature-pair path: contributions packed as one u32 of two
+        # bf16s through a 9-operand sort — halves sort payload + kernel
+        # DMA bytes (sort17-f32 60.8 vs sort9-u32 37.4 ms, profiles/
+        # profile_cell_bwd.py "sortbytes2"). Individual contributions
+        # round to bf16; accumulation stays f32 (tcnn accumulates its
+        # table gradient in fp16 atomics, ngp.py:340-358 upstream).
+        from .hashgrid_sorted import sorted_pair_grad
 
-        d_table = sorted_row_grad(
-            flat_idx, contrib, cfg.total_entries
+        w8r = w8.reshape(n * L, 8)
+        g2 = g32.reshape(n * L, F)
+        d_table = sorted_pair_grad(
+            flat_idx, w8r * g2[:, 0:1], w8r * g2[:, 1:2],
+            cfg.total_entries,
         ).astype(table_dtype)
     else:
-        d_table = (
-            jnp.zeros((cfg.total_entries, RW), jnp.float32)
-            .at[flat_idx]
-            .add(contrib, mode="promise_in_bounds")
-            .astype(table_dtype)
+        # contribution rows r[nl, c*F+f] = w8[nl, c] * g[nl, f], built
+        # in 2D (lane repeat/tile) — the [n, L, 8, F] outer-product
+        # form tile-pads its (8, F) minor dims to (8, 128), a 64x HBM
+        # blowup measured at 23 ms/step (profiles/profile_cell_bwd.py)
+        contrib = (
+            jnp.repeat(w8.reshape(n * L, 8), F, axis=1)
+            * jnp.tile(g32.reshape(n * L, F), (1, 8))
         )
+        if mode == "sorted":
+            from .hashgrid_sorted import sorted_row_grad
+
+            d_table = sorted_row_grad(
+                flat_idx, contrib, cfg.total_entries
+            ).astype(table_dtype)
+        else:
+            d_table = (
+                jnp.zeros((cfg.total_entries, RW), jnp.float32)
+                .at[flat_idx]
+                .add(contrib, mode="promise_in_bounds")
+                .astype(table_dtype)
+            )
 
     # dL/dx through the interpolation weights
     dL_dw = jnp.sum(

@@ -235,6 +235,166 @@ def _row_acc_kernel_packed(
     out_ref[:] = out_ref[:] + acc
 
 
+def _row_acc_kernel_pair(
+    win_ref, slice_ref, keys_t_ref, keys_q_ref, vals_ref,
+    even_ref, odd_ref, *, pair_width: int, j_tile: int, window: int,
+):
+    """bf16-pair variant: each contribution's F=2 features per corner
+    arrive as ONE u32 lane (feature 0 in the low 16 bits, feature 1 in
+    the high 16, both bf16), halving sort payload + kernel DMA bytes
+    (sort17-f32 60.8 ms vs sort9-u32 37.4 ms at bench scale,
+    tools/profiles/profile_cell_bwd.py "sortbytes2"; tcnn itself
+    accumulates its table gradient in fp16 atomics, so reduced-precision
+    contributions are reference-faithful).
+
+    vals row q holds 16 contributions x 8 u32 lanes; slot s at u32
+    lanes [s*8, (s+1)*8). The two feature planes accumulate into
+    separate [window, 128] outputs (even = feature 0, odd = feature 1),
+    each with entry e at row e//16, lanes (e%16)*8 + c — interleaving
+    back to [E, 16] happens outside the kernel in 2D ops.
+    """
+    i = pl.program_id(0)
+    prev = win_ref[jnp.maximum(i - 1, 0)]
+    is_new = (i == 0) | (win_ref[i] != prev)
+
+    @pl.when(is_new)
+    def _():
+        even_ref[:] = jnp.zeros_like(even_ref)
+        odd_ref[:] = jnp.zeros_like(odd_ref)
+
+    spr = LANES // pair_width                     # 16 contributions/row
+    epr = LANES // pair_width                     # 16 entries/plane row
+    q = j_tile // spr
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (window, q), 0)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (q, LANES), 1)
+    win_row0 = win_ref[i] * window
+    dn = (((1,), (0,)), ((), ()))
+    acc_e = jnp.zeros((window, LANES), jnp.float32)
+    acc_o = jnp.zeros((window, LANES), jnp.float32)
+    for s in range(spr):
+        e_row = keys_t_ref[s:s + 1, :].astype(jnp.int32)   # [1, Q]
+        rel = e_row // epr - win_row0
+        A = (row_iota == rel).astype(jnp.bfloat16)
+        e_col = keys_q_ref[:, s:s + 1].astype(jnp.int32)   # [Q, 1]
+        vt = pltpu.repeat(
+            vals_ref[:, s * pair_width:(s + 1) * pair_width], spr, 1
+        )                                                  # [Q,128] u32
+        mask = lane_iota // pair_width == e_col % epr
+        lo = jax.lax.bitcast_convert_type(
+            vt << 16, jnp.float32
+        )
+        hi = jax.lax.bitcast_convert_type(
+            vt & jnp.uint32(0xFFFF0000), jnp.float32
+        )
+        D_lo = jnp.where(mask, lo, 0.0).astype(jnp.bfloat16)
+        D_hi = jnp.where(mask, hi, 0.0).astype(jnp.bfloat16)
+        acc_e = acc_e + jax.lax.dot_general(
+            A, D_lo, dn, preferred_element_type=jnp.float32,
+        )
+        acc_o = acc_o + jax.lax.dot_general(
+            A, D_hi, dn, preferred_element_type=jnp.float32,
+        )
+    even_ref[:] = even_ref[:] + acc_e
+    odd_ref[:] = odd_ref[:] + acc_o
+
+
+def sorted_pair_grad(idx, lo, hi, total_entries: int, *,
+                     window: int = W):
+    """Segment-sum [M, 8]-wide (lo, hi) feature-pair contributions into
+    a [total_entries, 16] table gradient, with contributions rounded to
+    bf16 and carried as packed u32 pairs through a 9-operand sort.
+
+    The cell-layout row is row[c*2 + f] (corner c, feature f); lo/hi
+    carry feature 0/1 per corner. Accumulation is f32 on the MXU; only
+    each individual contribution is bf16-rounded (~0.4% rel), the
+    regime tcnn's fp16 atomic accumulation already accepts.
+    """
+    m, pw = lo.shape
+    assert pw * 2 <= LANES and LANES % pw == 0
+    spr = LANES // pw                              # contributions/row
+    q = 128
+    J = q * spr
+    epr = LANES // pw                              # entries per plane row
+    pad = (-m) % J
+    tot_rows = -(-total_entries // epr)
+    n_blocks = -(-tot_rows // window)
+    rows_pad = n_blocks * window
+    # pack: u32 lane = bf16(lo) bits | bf16(hi) bits << 16
+    lo16 = jax.lax.bitcast_convert_type(
+        lo.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    hi16 = jax.lax.bitcast_convert_type(
+        hi.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    u = lo16 | (hi16 << 16)                        # [m, 8] u32
+    if pad:
+        idx = jnp.concatenate([
+            idx, jnp.full((pad,), (rows_pad + window) * epr, jnp.int32)
+        ])
+        u = jnp.concatenate([u, jnp.zeros((pad, pw), jnp.uint32)])
+    mm = idx.shape[0]
+    n_tiles = mm // J
+
+    ops = (idx.astype(jnp.uint32),) + tuple(
+        u[:, c] for c in range(pw)
+    )
+    sorted_ops = jax.lax.sort(ops, num_keys=1)
+    keys = sorted_ops[0]
+    svals = jnp.stack(sorted_ops[1:], axis=-1)     # [mm, 8] u32
+
+    first_rows = keys[::J].astype(jnp.int32) // epr
+    window_ids, slice_ids = _merge_path(
+        first_rows, n_tiles, n_blocks, window
+    )
+    grid = n_tiles + n_blocks - 1
+    keys_q = keys.reshape(mm // spr, spr)
+    keys_t = keys_q.T
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((spr, q), lambda i, w, s: (0, s[i])),
+            pl.BlockSpec((q, spr), lambda i, w, s: (s[i], 0)),
+            pl.BlockSpec((q, LANES), lambda i, w, s: (s[i], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((window, LANES), lambda i, w, s: (w[i], 0)),
+            pl.BlockSpec((window, LANES), lambda i, w, s: (w[i], 0)),
+        ],
+    )
+    even, odd = pl.pallas_call(
+        functools.partial(
+            _row_acc_kernel_pair, pair_width=pw, j_tile=J,
+            window=window,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows_pad, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows_pad, LANES), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+    )(
+        window_ids,
+        slice_ids,
+        keys_t,
+        keys_q,
+        svals.reshape(mm // spr, LANES),
+    )
+    even = even.reshape(-1)[: total_entries * pw].reshape(
+        total_entries, pw
+    )
+    odd = odd.reshape(-1)[: total_entries * pw].reshape(
+        total_entries, pw
+    )
+    # interleave feature planes back to row[c*2 + f] in 2D ops
+    even_r = jnp.repeat(even, 2, axis=1)           # lane l <- l // 2
+    odd_r = jnp.repeat(odd, 2, axis=1)
+    lane = jax.lax.broadcasted_iota(
+        jnp.int32, (total_entries, 2 * pw), 1
+    )
+    return jnp.where(lane % 2 == 0, even_r, odd_r)
+
+
 def sorted_row_grad(idx, vals, total_entries: int, *,
                     j_tile: int = 512, window: int = W,
                     matmul: str = "f32", packed: bool = True):

@@ -64,6 +64,7 @@ class Stage1Config:
     interp: str = "tet"       # hash-grid interpolation (hashgrid.py)
     grad_mode: str = "auto"   # table-gradient strategy (hashgrid.py)
     layout: str = "corner"    # hash-table layout (hashgrid.py)
+    grad_payload: str = "f32"  # cell table-grad precision (hashgrid.py)
     scale: float = 1.5
     lr: float = 1e-2
     weight_decay: Optional[float] = None  # per-scene default if None
@@ -147,6 +148,7 @@ class Stage1Config:
             interp=self.interp,
             grad_mode=self.grad_mode,
             layout=self.layout,
+            grad_payload=self.grad_payload,
         )
 
     def render_config(self) -> RenderConfig:

@@ -200,3 +200,55 @@ def test_ngp_cell_layout_equal_params():
     # equal parameter budget within dense-level rounding
     assert abs(n1 - n0) / n0 < 0.6, (n0, n1)
     assert c_cell.hashgrid.output_dim == c_corner.hashgrid.output_dim
+
+
+@pytest.mark.parametrize("m,total_entries", [(4096, 1000), (9999, 257)])
+def test_sorted_pair_grad_matches_bf16_numpy(m, total_entries):
+    """bf16-pair path: equals a numpy segment-sum of the bf16-rounded
+    contributions (accumulation f32-exact modulo order)."""
+    import ml_dtypes
+    from quadraturefields_tpu.ops.hashgrid_sorted import sorted_pair_grad
+
+    rng = np.random.default_rng(m)
+    idx = rng.integers(0, total_entries, m).astype(np.int32)
+    lo = rng.normal(0, 1, (m, 8)).astype(np.float32)
+    hi = rng.normal(0, 1, (m, 8)).astype(np.float32)
+    got = np.asarray(sorted_pair_grad(
+        jnp.asarray(idx), jnp.asarray(lo), jnp.asarray(hi),
+        total_entries,
+    ))
+    lo_b = lo.astype(ml_dtypes.bfloat16).astype(np.float64)
+    hi_b = hi.astype(ml_dtypes.bfloat16).astype(np.float64)
+    want = np.zeros((total_entries, 16), np.float64)
+    for c in range(8):
+        np.add.at(want[:, 2 * c], idx, lo_b[:, c])
+        np.add.at(want[:, 2 * c + 1], idx, hi_b[:, c])
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_cell_bf16pair_close_to_f32_grad():
+    """End-to-end cell backward with grad_payload=bf16pair stays within
+    bf16 rounding of the exact-f32 table gradient."""
+    import dataclasses as dc
+    from quadraturefields_tpu.ops.hashgrid import (
+        HashGridConfig, hashgrid_encode, hashgrid_init,
+    )
+
+    cfg = HashGridConfig(
+        n_levels=4, log2_hashmap_size=9, base_resolution=4,
+        per_level_scale=1.5, layout="cell", grad_mode="sorted",
+        grad_payload="bf16pair",
+    )
+    cfg_f32 = dc.replace(cfg, grad_payload="f32")
+    key = jax.random.PRNGKey(0)
+    table = hashgrid_init(key, cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (512, 3))
+
+    def loss(t, c):
+        return jnp.sum(jnp.sin(hashgrid_encode(t, x, c)))
+
+    g_pair = jax.grad(lambda t: loss(t, cfg))(table)
+    g_f32 = jax.grad(lambda t: loss(t, cfg_f32))(table)
+    err = float(jnp.max(jnp.abs(g_pair - g_f32)))
+    scale = float(jnp.max(jnp.abs(g_f32))) + 1e-9
+    assert err / scale < 1.5e-2, (err, scale)

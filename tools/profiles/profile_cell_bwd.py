@@ -246,3 +246,32 @@ if "kernelpacked" in WHICH:
         )(window_ids, slice_ids, keys_t, keys_q,
           v.reshape(mm // spr, 128))
     timeit("kernel-only packed presorted", jax.jit(kp), sk, vals)
+
+if "sortbytes2" in WHICH:
+    # DCE-proof: consume every sorted operand
+    def s9b(i, v):
+        vb = v.astype(jnp.bfloat16)
+        u = jax.lax.bitcast_convert_type(
+            vb.reshape(M, 8, 2), jnp.uint32
+        ).reshape(M, 8)
+        ops = (i.astype(jnp.uint32),) + tuple(u[:, c] for c in range(8))
+        out = jax.lax.sort(ops, num_keys=1)
+        return sum(o[::1024].astype(jnp.float32).sum() for o in out)
+    timeit("sort9 u32(bf16x2) consumed", jax.jit(s9b), idx, vals)
+
+    def s17b(i, v):
+        ops = (i.astype(jnp.uint32),) + tuple(
+            v[:, c] for c in range(16)
+        )
+        out = jax.lax.sort(ops, num_keys=1)
+        return sum(o[::1024].astype(jnp.float32).sum() for o in out)
+    timeit("sort17 f32 consumed", jax.jit(s17b), idx, vals)
+
+    def s17h(i, v):
+        vb = v.astype(jnp.bfloat16)
+        ops = (i.astype(jnp.uint32),) + tuple(
+            vb[:, c] for c in range(16)
+        )
+        out = jax.lax.sort(ops, num_keys=1)
+        return sum(o[::1024].astype(jnp.float32).sum() for o in out)
+    timeit("sort17 bf16 consumed", jax.jit(s17h), idx, vals)
