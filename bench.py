@@ -54,7 +54,7 @@ BASELINE_SAMPLES_PER_SEC = 2.6e7  # estimated RTX-3090 stage-1 throughput
 TARGET_MULTIPLIER = 2.0
 
 
-def bench_stage1():
+def bench_stage1(layout: str = "corner", grad_payload: str = "f32"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -78,7 +78,8 @@ def bench_stage1():
     # linear encoding with half the table lookups; grad_mode auto
     # resolves to the sorted Pallas accumulate (see PERF_NOTES.md)
     ngp_cfg = NGPConfig(
-        head="sg", num_g_lobes=2, log2_hashmap_size=19, interp="tet"
+        head="sg", num_g_lobes=2, log2_hashmap_size=19, interp="tet",
+        layout=layout, grad_payload=grad_payload,
     )
     step_size = 5e-3
     rcfg = RenderConfig(
@@ -612,7 +613,14 @@ def bench_baked_fps():
 
 
 def main():
-    samples_per_sec, s1_windows = bench_stage1()
+    # primary metric: the cell-layout encoding (round-3 redesign,
+    # fixture PSNR parity-tested vs the exact corner path); corner
+    # (tcnn-parity) reported as an extra
+    samples_per_sec, s1_windows = bench_stage1(layout="cell")
+    try:
+        corner_sps, _ = bench_stage1(layout="corner")
+    except Exception as e:
+        corner_sps = repr(e)
     try:
         fps, fps_times, device_fps = bench_baked_fps()
     except Exception as e:  # never lose the primary metric
@@ -642,6 +650,10 @@ def main():
                 round(device_fps, 2) if device_fps is not None else None
             ),
             "stage1_window_s": [round(t, 3) for t in s1_windows],
+            "stage1_corner_samples_per_sec": (
+                round(corner_sps, 1)
+                if isinstance(corner_sps, float) else corner_sps
+            ),
             "stage4_rays_per_sec": (
                 round(s4_rays, 1) if s4_rays is not None else None
             ),
