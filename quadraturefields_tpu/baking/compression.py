@@ -163,6 +163,10 @@ class FeatureCompression:
         for i in range(self.num_lobes):
             parts.append(self.lambdas[i])
             parts.append(self.sg_colors[i])
+        # (power-of-two channel padding was measured and does NOT speed
+        # the per-hit gather — it is index-latency-bound, not
+        # alignment-bound: 22.7 ms at 22B rows vs 26.1 ms at 32B,
+        # profiles/profile_baked.py 2026-08-17)
         return jnp.asarray(np.concatenate(parts, axis=-1))
 
     def get_features_from_packed_texels(self, tex):

@@ -306,16 +306,25 @@ class BakedRenderer:
             ts_p, ts_p + dt, sigmas, boundaries
         )
         weights = jnp.where(valid, weights, 0.0)
-        rgb = scan.accumulate_along_rays(
-            weights, ray_idx, rgbs, n_rays_static
+        # ONE presorted windowed-MXU segment sum for rgb+alpha+depth
+        # (the stream is ray-sorted by construction): three
+        # jax.ops.segment_sum row scatters cost ~35 ms of the measured
+        # 52 ms composite at 800x800 (profiles/profile_baked.py)
+        from ..ops.hashgrid_sorted import presorted_row_segment_sum
+
+        vals8 = jnp.concatenate(
+            [
+                weights[:, None] * rgbs,             # 0:3 rgb
+                weights[:, None],                    # 3   alpha
+                weights[:, None] * ts_p[:, None],    # 4   depth num
+                jnp.zeros((weights.shape[0], 3), jnp.float32),
+            ],
+            axis=1,
         )
-        alpha = scan.accumulate_along_rays(
-            weights, ray_idx, None, n_rays_static
-        )
-        depth = scan.accumulate_along_rays(
-            weights, ray_idx, ts_p[:, None], n_rays_static
-        )
-        depth = depth / jnp.clip(alpha, min=1e-10)
+        acc = presorted_row_segment_sum(ray_idx, vals8, n_rays_static)
+        rgb = acc[:, 0:3]
+        alpha = acc[:, 3:4]
+        depth = acc[:, 4:5] / jnp.clip(alpha, min=1e-10)
         rgb = (1.0 - alpha) + rgb  # white background (dense-path parity)
         return rgb, alpha, depth
 

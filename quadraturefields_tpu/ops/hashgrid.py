@@ -403,6 +403,12 @@ def _cell_bwd(cfg: HashGridConfig, saved, g):
             jnp.repeat(w8.reshape(n * L, 8), F, axis=1)
             * jnp.tile(g32.reshape(n * L, F), (1, 8))
         )
+        if cfg.grad_payload == "bf16sim":
+            # CPU-testable emulation of the bf16pair quality effect:
+            # round each contribution to bf16 exactly as the packed
+            # u32 sort payload does, but keep the scatter/sorted path
+            # (the Pallas pair kernel is interpret-only off-chip)
+            contrib = contrib.astype(jnp.bfloat16).astype(jnp.float32)
         if mode == "sorted":
             from .hashgrid_sorted import sorted_row_grad
 

@@ -438,7 +438,61 @@ def sorted_row_grad(idx, vals, total_entries: int, *,
     )
     keys = sorted_ops[0]
     svals = jnp.stack(sorted_ops[1:], axis=-1)     # [mm, RW]
+    return _windowed_row_accumulate(
+        keys, svals, total_entries,
+        J=J, window=window, matmul=matmul, packed=packed,
+        rows_pad=rows_pad, n_blocks=n_blocks,
+    )
 
+
+def presorted_row_segment_sum(keys, vals, n_segments: int, *,
+                              j_tile: int = 512, window: int = W):
+    """Segment-sum rows of an ALREADY key-sorted stream — the sort-free
+    tail of sorted_row_grad (merge-path schedule + windowed one-hot MXU
+    accumulate, ~2 ns/row vs ~81 ns/row for an XLA row scatter).
+
+    keys: [M] int32/uint32, non-decreasing; rows with key >= n_segments
+    are dropped (use key = n_segments for padding). vals: [M, RW] with
+    RW dividing 128. Replaces jax.ops.segment_sum on ray-sorted packed
+    render streams (reference nerfacc accumulate_along_rays,
+    field_rendering.py:483-547).
+    """
+    m, rw = vals.shape
+    assert LANES % rw == 0, rw
+    epr = LANES // rw
+    spr_ = LANES // rw
+    q_ = -(-max(j_tile // spr_, 1) // 128) * 128
+    J = q_ * spr_
+    # one extra segment swallows the caller's n_segments sentinel rows
+    total_entries = n_segments + 1
+    pad = (-m) % J
+    tot_rows = -(-total_entries // epr)
+    n_blocks = -(-tot_rows // window)
+    rows_pad = n_blocks * window
+    if pad:
+        keys = jnp.concatenate([
+            keys.astype(jnp.uint32),
+            jnp.full((pad,), (rows_pad + window) * epr, jnp.uint32),
+        ])
+        vals = jnp.concatenate(
+            [vals, jnp.zeros((pad, rw), vals.dtype)]
+        )
+    else:
+        keys = keys.astype(jnp.uint32)
+    out = _windowed_row_accumulate(
+        keys, vals.astype(jnp.float32), total_entries,
+        J=J, window=window, matmul="f32", packed=True,
+        rows_pad=rows_pad, n_blocks=n_blocks,
+    )
+    return out[:n_segments]
+
+
+def _windowed_row_accumulate(keys, svals, total_entries: int, *,
+                             J: int, window: int, matmul: str,
+                             packed: bool, rows_pad: int, n_blocks: int):
+    mm, rw = svals.shape
+    epr = LANES // rw
+    n_tiles = mm // J
     first_rows = keys[::J].astype(jnp.int32) // epr
     window_ids, slice_ids = _merge_path(
         first_rows, n_tiles, n_blocks, window
