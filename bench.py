@@ -524,14 +524,16 @@ def bench_baked_fps():
     def render_view_pipelined(cam):
         """Host BVH intersection for chunk i+1 overlaps device render of
         chunk i (the reference overlaps the same work via DataLoader
-        workers, train_finetune.py:307-317)."""
+        workers, train_finetune.py:307-317). UV transport: the cast
+        emits per-hit texel UVs, so the device skips the face-corner
+        gather + barycentric solve (profiles/profile_baked.py)."""
         origins, viewdirs = view_rays(cam)
         n = origins.shape[0]
         q: Queue = Queue(maxsize=2)
 
-        if renderer._render_packed is None:
-            renderer._render_packed = jax.jit(
-                renderer._render_packed_impl, static_argnums=(7, 8)
+        if renderer._render_packed_uv is None:
+            renderer._render_packed_uv = jax.jit(
+                renderer._render_packed_uv_impl, static_argnums=(5, 6)
             )
         cam_dev = jnp.asarray(cam)
 
@@ -539,13 +541,13 @@ def bench_baked_fps():
             for i in range(0, n, chunk):
                 o = origins[i:i + chunk]
                 d = viewdirs[i:i + chunk]
-                tri_ids, ts, _ = (
-                    renderer.mesh_intersect.intersect_rows(o, d)
+                tri_ids, ts, _, uvs = (
+                    renderer.mesh_intersect.intersect_rows_uv(o, d)
                 )
-                slots, tri_p, ts_p = renderer.pack_hits(
-                    tri_ids, ts, cap=int(o.shape[0] * 1.5)
+                slots, ts_p, uv_p = renderer.pack_hits_uv(
+                    tri_ids, ts, uvs, cap=int(o.shape[0] * 1.5)
                 )
-                q.put((i, slots, tri_p, ts_p, o.shape[0]))
+                q.put((i, slots, uv_p, ts_p, o.shape[0]))
             q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)
@@ -555,12 +557,11 @@ def bench_baked_fps():
             item = q.get()
             if item is None:
                 break
-            start, slots, tri_p, ts_p, n_chunk = item
+            start, slots, uv_p, ts_p, n_chunk = item
             d_dev = device_dirs(cam_dev, jnp.float32(start), n_chunk)
-            rgb, _, _ = renderer._render_packed(
-                renderer.maps_packed, renderer.geom,
-                cam_dev[:1], d_dev, jnp.asarray(slots),
-                jnp.asarray(tri_p), jnp.asarray(ts_p), n_chunk,
+            rgb, _, _ = renderer._render_packed_uv(
+                renderer.maps_packed, d_dev, jnp.asarray(slots),
+                jnp.asarray(uv_p), jnp.asarray(ts_p), n_chunk,
                 renderer.mesh_intersect.max_hits,
             )
             outs.append(rgb)
@@ -587,24 +588,24 @@ def bench_baked_fps():
     staged = []
     for i in range(0, origins.shape[0], chunk):
         o = origins[i:i + chunk]
-        tri_ids, ts, _ = renderer.mesh_intersect.intersect_rows(
+        tri_ids, ts, _, uvs = renderer.mesh_intersect.intersect_rows_uv(
             o, viewdirs[i:i + chunk]
         )
-        slots, tri_p, ts_p = renderer.pack_hits(
-            tri_ids, ts, cap=int(o.shape[0] * 1.5)
+        slots, ts_p, uv_p = renderer.pack_hits_uv(
+            tri_ids, ts, uvs, cap=int(o.shape[0] * 1.5)
         )
         staged.append((
             device_dirs(cam_dev, jnp.float32(i), o.shape[0]),
-            jnp.asarray(slots), jnp.asarray(tri_p), jnp.asarray(ts_p),
+            jnp.asarray(slots), jnp.asarray(uv_p), jnp.asarray(ts_p),
             o.shape[0],
         ))
     t0 = time.perf_counter()
     n_dev = 10
     for _ in range(n_dev):
-        for d_dev, slots, tri_p, ts_p, n_chunk in staged:
-            rgb, _, _ = renderer._render_packed(
-                renderer.maps_packed, renderer.geom, cam_dev[:1], d_dev,
-                slots, tri_p, ts_p, n_chunk,
+        for d_dev, slots, uv_p, ts_p, n_chunk in staged:
+            rgb, _, _ = renderer._render_packed_uv(
+                renderer.maps_packed, d_dev,
+                slots, uv_p, ts_p, n_chunk,
                 renderer.mesh_intersect.max_hits,
             )
     float(jnp.sum(rgb))

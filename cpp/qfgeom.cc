@@ -54,6 +54,7 @@ struct BVH {
   std::vector<int32_t> faces;   // 3 * n_faces
   std::vector<BVHNode> nodes;
   std::vector<int32_t> prim;    // permuted triangle ids
+  std::vector<float> uvfc;      // optional per-face-corner UVs, 6/face
   int64_t n_verts = 0, n_faces = 0;
 
   V3 vert(int32_t i) const {
@@ -140,10 +141,12 @@ static void bvh_refit_node(BVH& bvh, int32_t node_idx) {
 struct Hit {
   float t;
   int32_t tri;
+  float u, v;  // barycentric (b, c weights) from Möller–Trumbore
 };
 
 // Möller–Trumbore, two-sided, epsilon-guarded.
-static inline bool ray_tri(V3 o, V3 d, V3 a, V3 b, V3 c, float& t_out) {
+static inline bool ray_tri(V3 o, V3 d, V3 a, V3 b, V3 c, float& t_out,
+                           float& u_out, float& v_out) {
   const float eps = 1e-9f;
   V3 e1 = b - a, e2 = c - a;
   V3 p = cross(d, e2);
@@ -159,6 +162,8 @@ static inline bool ray_tri(V3 o, V3 d, V3 a, V3 b, V3 c, float& t_out) {
   float t = dot(e2, q) * inv;
   if (t <= 1e-6f) return false;
   t_out = t;
+  u_out = u;
+  v_out = v;
   return true;
 }
 
@@ -192,7 +197,9 @@ static void bvh_intersect_ray(const BVH& bvh, V3 o, V3 d, int max_hits,
         V3 a, b, c;
         bvh.tri(f, a, b, c);
         float t;
-        if (ray_tri(o, d, a, b, c, t)) hits.push_back({t, f});
+        float hu, hv;
+        if (ray_tri(o, d, a, b, c, t, hu, hv))
+          hits.push_back({t, f, hu, hv});
       }
     } else {
       if (sp + 2 <= 128) {
@@ -553,6 +560,69 @@ void qf_bvh_intersect(void* handle, const float* origins, const float* dirs,
           } else {
             tri_ids[r * max_hits + h] = -1;
             ts[r * max_hits + h] = 0.0f;
+          }
+        }
+      }
+    }
+  };
+  if (n_threads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int i = 0; i < n_threads; ++i) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+  }
+}
+
+// Attach per-face-corner UVs [n_faces * 3 * 2] so intersect_uv can emit
+// interpolated texture coordinates per hit (the baked render path then
+// skips its device-side face_data gather + barycentric solve — the
+// reference reads textures the same way after its Embree cast,
+// examples/utils.py:999-1095 / mesh_utils.py:350-354).
+void qf_bvh_set_uv(void* handle, const float* uv_face_corners) {
+  BVH* bvh = (BVH*)handle;
+  bvh->uvfc.assign(uv_face_corners, uv_face_corners + 6 * bvh->n_faces);
+}
+
+// As qf_bvh_intersect, plus uvs [n_rays*max_hits*2]: the hit's
+// barycentric-interpolated per-face-corner UV (requires qf_bvh_set_uv).
+void qf_bvh_intersect_uv(void* handle, const float* origins,
+                         const float* dirs, int64_t n_rays,
+                         int32_t max_hits, int32_t n_threads,
+                         int32_t* tri_ids, float* ts, int32_t* counts,
+                         float* uvs) {
+  BVH* bvh = (BVH*)handle;
+  if (n_threads <= 0)
+    n_threads = (int32_t)std::thread::hardware_concurrency();
+  n_threads = std::max(1, std::min((int)n_threads, 64));
+  std::atomic<int64_t> next(0);
+  const int64_t chunk = 1024;
+  auto worker = [&]() {
+    std::vector<Hit> hits;
+    for (;;) {
+      int64_t start = next.fetch_add(chunk);
+      if (start >= n_rays) break;
+      int64_t end = std::min(n_rays, start + chunk);
+      for (int64_t r = start; r < end; ++r) {
+        V3 o = v3(origins[3 * r], origins[3 * r + 1], origins[3 * r + 2]);
+        V3 d = v3(dirs[3 * r], dirs[3 * r + 1], dirs[3 * r + 2]);
+        bvh_intersect_ray(*bvh, o, d, max_hits, hits);
+        counts[r] = (int32_t)hits.size();
+        for (int32_t h = 0; h < max_hits; ++h) {
+          int64_t k = r * max_hits + h;
+          if (h < (int32_t)hits.size()) {
+            const Hit& hit = hits[h];
+            tri_ids[k] = hit.tri;
+            ts[k] = hit.t;
+            float w0 = 1.0f - hit.u - hit.v;
+            const float* fuv = &bvh->uvfc[6 * hit.tri];
+            uvs[2 * k] = w0 * fuv[0] + hit.u * fuv[2] + hit.v * fuv[4];
+            uvs[2 * k + 1] = w0 * fuv[1] + hit.u * fuv[3] + hit.v * fuv[5];
+          } else {
+            tri_ids[k] = -1;
+            ts[k] = 0.0f;
+            uvs[2 * k] = 0.0f;
+            uvs[2 * k + 1] = 0.0f;
           }
         }
       }

@@ -241,8 +241,10 @@ class BakedRenderer:
         }
         self.sg_cfg = sg_cfg
         self.render_step_size = render_step_size
+        self.mesh_intersect.set_atlas_uv(self.uv)
         self._render = jax.jit(self._render_impl)
         self._render_packed = None  # built lazily (static R, H args)
+        self._render_packed_uv = None
 
     def _render_impl(self, maps, geom, origins, viewdirs, tri_ids, ts):
         # `maps`/`geom` (hundreds of MB of texture data) MUST be jit
@@ -328,6 +330,74 @@ class BakedRenderer:
         rgb = (1.0 - alpha) + rgb  # white background (dense-path parity)
         return rgb, alpha, depth
 
+    def _render_packed_uv_impl(self, maps, viewdirs, slots, uv_p, ts_p,
+                               n_rays_static, max_hits):
+        """UV-transport variant: the host BVH cast emits each hit's
+        barycentric-interpolated atlas UV (qf_bvh_intersect_uv — the
+        barycentrics fall out of Möller–Trumbore), so the device skips
+        the face_data gather + barycentric solve entirely (25.3 + 3.8 ms
+        of the 70.7 ms contract-config frame, profiles/profile_baked.py).
+        Upload per hit: (slot, uv, t) = 16 B."""
+        from ..ops import scan
+        from ..ops.hashgrid_sorted import presorted_row_segment_sum
+
+        valid = slots >= 0
+        ray_idx = jnp.where(
+            valid, slots // max_hits, n_rays_static
+        ).astype(jnp.int32)
+        ray_clip = jnp.clip(ray_idx, 0, n_rays_static - 1)
+        d = viewdirs[ray_clip]                        # [M, 3]
+        T = self.compressor.texture_size
+        texels = jnp.clip(
+            jnp.floor(uv_p).astype(jnp.int32), 0, T - 1
+        )
+        tex = maps[texels[:, 0], texels[:, 1]]
+        feats = self.compressor.get_features_from_packed_texels(tex)
+        sigmas = jnp.where(valid, feats[:, -1], 0.0)
+        rgbs = ngp_features_to_rgb(feats[:, :-1], d, self.sg_cfg)
+        dt = self.render_step_size
+        boundaries = scan.mark_pack_boundaries(ray_idx)
+        weights, _, _ = scan.render_weight_from_density(
+            ts_p, ts_p + dt, sigmas, boundaries
+        )
+        weights = jnp.where(valid, weights, 0.0)
+        vals8 = jnp.concatenate(
+            [
+                weights[:, None] * rgbs,
+                weights[:, None],
+                weights[:, None] * ts_p[:, None],
+                jnp.zeros((weights.shape[0], 3), jnp.float32),
+            ],
+            axis=1,
+        )
+        acc = presorted_row_segment_sum(ray_idx, vals8, n_rays_static)
+        rgb = acc[:, 0:3]
+        alpha = acc[:, 3:4]
+        depth = acc[:, 4:5] / jnp.clip(alpha, min=1e-10)
+        rgb = (1.0 - alpha) + rgb
+        return rgb, alpha, depth
+
+    @staticmethod
+    def pack_hits_uv(tri_ids, ts, uvs, cap: int):
+        """pack_hits for the UV transport: -> (slots, ts, uv) packed."""
+        valid = tri_ids >= 0
+        if int(valid.sum()) > cap:
+            per_h = valid.sum(axis=0)
+            cum = np.cumsum(per_h)
+            h_keep = int(np.searchsorted(cum, cap, side="right"))
+            valid = valid.copy()
+            valid[:, h_keep:] = False
+        slots = np.nonzero(valid.reshape(-1))[0].astype(np.int32)
+        m = slots.shape[0]
+        ts_p = ts.reshape(-1)[slots]
+        uv_p = uvs.reshape(-1, 2)[slots]
+        pad = cap - m
+        return (
+            np.concatenate([slots, np.full(pad, -1, np.int32)]),
+            np.concatenate([ts_p, np.zeros(pad, np.float32)]),
+            np.concatenate([uv_p, np.zeros((pad, 2), np.float32)]),
+        )
+
     @staticmethod
     def pack_hits(tri_ids, ts, cap: int):
         """Host-side: dense [R,H] hits -> (slots, tri, ts) packed arrays
@@ -353,11 +423,27 @@ class BakedRenderer:
         )
 
     def render_rays(self, origins, viewdirs, packed: bool = True,
-                    pack_cap_hits: float = 2.0):
+                    pack_cap_hits: float = 2.0, uv_transport: bool = True):
+        n = origins.shape[0]
+        if packed and uv_transport:
+            tri_ids, ts, _, uvs = self.mesh_intersect.intersect_rows_uv(
+                origins, viewdirs
+            )
+            if self._render_packed_uv is None:
+                self._render_packed_uv = jax.jit(
+                    self._render_packed_uv_impl, static_argnums=(5, 6)
+                )
+            cap = int(n * pack_cap_hits)
+            slots, ts_p, uv_p = self.pack_hits_uv(tri_ids, ts, uvs, cap)
+            rgb, alpha, depth = self._render_packed_uv(
+                self.maps_packed, jnp.asarray(viewdirs),
+                jnp.asarray(slots), jnp.asarray(uv_p),
+                jnp.asarray(ts_p), n, self.mesh_intersect.max_hits,
+            )
+            return np.asarray(rgb), np.asarray(alpha), np.asarray(depth)
         tri_ids, ts, _ = self.mesh_intersect.intersect_rows(
             origins, viewdirs
         )
-        n = origins.shape[0]
         if packed:
             if self._render_packed is None:
                 self._render_packed = jax.jit(

@@ -64,6 +64,20 @@ class MeshIntersection:
         valid = tri_ids >= 0
         return tri_ids, ts, valid
 
+    def set_atlas_uv(self, uv_per_vertex):
+        """Attach atlas UVs so intersect_rows_uv can emit per-hit texel
+        coordinates from the cast itself (BVH.set_uv)."""
+        uv = np.asarray(uv_per_vertex, np.float32)
+        self.bvh.set_uv(uv[self.mesh.faces])
+
+    def intersect_rows_uv(self, origins, viewdirs):
+        """-> (tri_ids, ts, valid, uvs [R,H,2]): hits plus their
+        barycentric-interpolated atlas UV (requires set_atlas_uv)."""
+        tri_ids, ts, counts, uvs = self.bvh.intersect_uv(
+            origins, viewdirs, max_hits=self.max_hits
+        )
+        return tri_ids, ts, tri_ids >= 0, uvs
+
     def face_vertices(self, tri_ids):
         """[.., 3, 3] world vertices of the given triangles (clamped for
         -1 padding)."""

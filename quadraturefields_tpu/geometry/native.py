@@ -59,6 +59,12 @@ def _get_lib():
             ctypes.c_void_p, c_f32p, c_f32p, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, c_i32p, c_f32p, c_i32p,
         ]
+        lib.qf_bvh_set_uv.argtypes = [ctypes.c_void_p, c_f32p]
+        lib.qf_bvh_intersect_uv.argtypes = [
+            ctypes.c_void_p, c_f32p, c_f32p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, c_i32p, c_f32p, c_i32p,
+            c_f32p,
+        ]
         lib.qf_mc_run.restype = ctypes.c_void_p
         lib.qf_mc_run.argtypes = [
             c_f32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -141,6 +147,31 @@ class BVH:
             self.n_threads, _i32p(tri_ids), _f32p(ts), _i32p(counts),
         )
         return tri_ids, ts, counts
+
+    def set_uv(self, uv_face_corners):
+        """Attach [n_faces, 3, 2] per-face-corner UVs for intersect_uv."""
+        self._uvfc = np.ascontiguousarray(uv_face_corners, np.float32)
+        assert self._uvfc.shape == (self.faces.shape[0], 3, 2)
+        self._lib.qf_bvh_set_uv(self._handle, _f32p(self._uvfc))
+
+    def intersect_uv(self, origins, viewdirs, max_hits: int = 25):
+        """As intersect, plus the hit's barycentric-interpolated UV
+        [n, max_hits, 2] (requires set_uv). Moves the baked path's
+        face-corner gather + barycentric solve to the host cast, where
+        Möller–Trumbore has the barycentrics for free."""
+        origins = np.ascontiguousarray(origins, np.float32)
+        viewdirs = np.ascontiguousarray(viewdirs, np.float32)
+        n = origins.shape[0]
+        tri_ids = np.empty((n, max_hits), np.int32)
+        ts = np.empty((n, max_hits), np.float32)
+        counts = np.empty((n,), np.int32)
+        uvs = np.empty((n, max_hits, 2), np.float32)
+        self._lib.qf_bvh_intersect_uv(
+            self._handle, _f32p(origins), _f32p(viewdirs), n, max_hits,
+            self.n_threads, _i32p(tri_ids), _f32p(ts), _i32p(counts),
+            _f32p(uvs),
+        )
+        return tri_ids, ts, counts, uvs
 
     def __del__(self):
         try:

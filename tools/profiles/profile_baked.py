@@ -153,6 +153,36 @@ def main():
     timeit(f"full packed frame ({N_CHUNKS} dispatch)", full_frame,
            maps, geom)
 
+    # UV-transport variant: host cast emits per-hit texels
+    staged_uv = []
+    t0 = time.perf_counter()
+    for s in range(0, H * W, chunk):
+        o = origins[s:s + chunk]
+        tri_ids, ts, _, uvs = renderer.mesh_intersect.intersect_rows_uv(
+            o, dirs[s:s + chunk]
+        )
+        slots, ts_p, uv_p = renderer.pack_hits_uv(
+            tri_ids, ts, uvs, cap=int(o.shape[0] * 1.5)
+        )
+        staged_uv.append((
+            jnp.asarray(dirs[s:s + chunk]), jnp.asarray(slots),
+            jnp.asarray(uv_p), jnp.asarray(ts_p), o.shape[0],
+        ))
+    print(f"host BVH+pack+stage (uv): {time.perf_counter()-t0:.1f}s",
+          flush=True)
+    render_uv = jax.jit(renderer._render_packed_uv_impl,
+                        static_argnums=(5, 6))
+
+    def full_frame_uv(maps):
+        outs = []
+        for d_dev, slots, uv_p, ts_p, n_chunk in staged_uv:
+            rgb, _, _ = render_uv(maps, d_dev, slots, uv_p, ts_p,
+                                  n_chunk, MAX_HITS)
+            outs.append(rgb)
+        return outs[-1]
+
+    timeit(f"full UV frame ({N_CHUNKS} dispatch)", full_frame_uv, maps)
+
     # components at chunk shapes (first chunk)
     from quadraturefields_tpu.ops import scan
     from quadraturefields_tpu.render.baked import hit_uv_texels
