@@ -531,9 +531,10 @@ def bench_baked_fps():
         n = origins.shape[0]
         q: Queue = Queue(maxsize=2)
 
-        if renderer._render_packed_uv is None:
-            renderer._render_packed_uv = jax.jit(
-                renderer._render_packed_uv_impl, static_argnums=(5, 6)
+        if getattr(renderer, "_render_packed_uv_cam", None) is None:
+            renderer._render_packed_uv_cam = jax.jit(
+                renderer._render_packed_uv_cam_impl,
+                static_argnums=(6, 7, 8, 9),
             )
         cam_dev = jnp.asarray(cam)
 
@@ -545,7 +546,7 @@ def bench_baked_fps():
                     renderer.mesh_intersect.intersect_rows_uv(o, d)
                 )
                 slots, ts_p, uv_p = renderer.pack_hits_uv(
-                    tri_ids, ts, uvs, cap=int(o.shape[0] * 1.5)
+                    tri_ids, ts, uvs, cap=int(o.shape[0] * 1.25)
                 )
                 q.put((i, slots, uv_p, ts_p, o.shape[0]))
             q.put(None)
@@ -558,11 +559,11 @@ def bench_baked_fps():
             if item is None:
                 break
             start, slots, uv_p, ts_p, n_chunk = item
-            d_dev = device_dirs(cam_dev, jnp.float32(start), n_chunk)
-            rgb, _, _ = renderer._render_packed_uv(
-                renderer.maps_packed, d_dev, jnp.asarray(slots),
-                jnp.asarray(uv_p), jnp.asarray(ts_p), n_chunk,
-                renderer.mesh_intersect.max_hits,
+            rgb, _, _ = renderer._render_packed_uv_cam(
+                renderer.maps_packed, cam_dev, jnp.float32(start),
+                jnp.asarray(slots), jnp.asarray(uv_p),
+                jnp.asarray(ts_p), n_chunk,
+                renderer.mesh_intersect.max_hits, W, focal,
             )
             outs.append(rgb)
         return np.concatenate([np.asarray(r) for r in outs])[:n]
@@ -592,21 +593,21 @@ def bench_baked_fps():
             o, viewdirs[i:i + chunk]
         )
         slots, ts_p, uv_p = renderer.pack_hits_uv(
-            tri_ids, ts, uvs, cap=int(o.shape[0] * 1.5)
+            tri_ids, ts, uvs, cap=int(o.shape[0] * 1.25)
         )
         staged.append((
-            device_dirs(cam_dev, jnp.float32(i), o.shape[0]),
+            jnp.float32(i),
             jnp.asarray(slots), jnp.asarray(uv_p), jnp.asarray(ts_p),
             o.shape[0],
         ))
     t0 = time.perf_counter()
     n_dev = 10
     for _ in range(n_dev):
-        for d_dev, slots, uv_p, ts_p, n_chunk in staged:
-            rgb, _, _ = renderer._render_packed_uv(
-                renderer.maps_packed, d_dev,
+        for start, slots, uv_p, ts_p, n_chunk in staged:
+            rgb, _, _ = renderer._render_packed_uv_cam(
+                renderer.maps_packed, cam_dev, start,
                 slots, uv_p, ts_p, n_chunk,
-                renderer.mesh_intersect.max_hits,
+                renderer.mesh_intersect.max_hits, W, focal,
             )
     float(jnp.sum(rgb))
     device_fps = n_dev / (time.perf_counter() - t0)

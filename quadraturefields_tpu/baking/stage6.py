@@ -377,6 +377,63 @@ class BakedRenderer:
         rgb = (1.0 - alpha) + rgb
         return rgb, alpha, depth
 
+    def _render_packed_uv_cam_impl(self, maps, cam, start, slots, uv_p,
+                                   ts_p, n_rays_static, max_hits, img_w,
+                                   focal):
+        """Pinhole variant of the UV path: view directions come from
+        camera math per hit (global ray idx -> pixel (i, j)) instead of
+        a [M]-row gather from a staged viewdirs array (~6 ms/frame).
+        cam: [4, 3] = (eye, right, up, fwd); start = this chunk's first
+        global ray index; square image of width img_w."""
+        from ..ops import scan
+        from ..ops.hashgrid_sorted import presorted_row_segment_sum
+
+        valid = slots >= 0
+        ray_idx = jnp.where(
+            valid, slots // max_hits, n_rays_static
+        ).astype(jnp.int32)
+        ray_clip = (
+            jnp.clip(ray_idx, 0, n_rays_static - 1).astype(jnp.float32)
+            + start
+        )
+        i = jnp.mod(ray_clip, img_w)
+        j = jnp.floor(ray_clip / img_w)
+        d = (
+            (i[:, None] - img_w / 2) / focal * cam[1]
+            + (j[:, None] - img_w / 2) / focal * -cam[2]
+            + cam[3]
+        )
+        d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+        T = self.compressor.texture_size
+        texels = jnp.clip(
+            jnp.floor(uv_p).astype(jnp.int32), 0, T - 1
+        )
+        tex = maps[texels[:, 0], texels[:, 1]]
+        feats = self.compressor.get_features_from_packed_texels(tex)
+        sigmas = jnp.where(valid, feats[:, -1], 0.0)
+        rgbs = ngp_features_to_rgb(feats[:, :-1], d, self.sg_cfg)
+        dt = self.render_step_size
+        boundaries = scan.mark_pack_boundaries(ray_idx)
+        weights, _, _ = scan.render_weight_from_density(
+            ts_p, ts_p + dt, sigmas, boundaries
+        )
+        weights = jnp.where(valid, weights, 0.0)
+        vals8 = jnp.concatenate(
+            [
+                weights[:, None] * rgbs,
+                weights[:, None],
+                weights[:, None] * ts_p[:, None],
+                jnp.zeros((weights.shape[0], 3), jnp.float32),
+            ],
+            axis=1,
+        )
+        acc = presorted_row_segment_sum(ray_idx, vals8, n_rays_static)
+        rgb = acc[:, 0:3]
+        alpha = acc[:, 3:4]
+        depth = acc[:, 4:5] / jnp.clip(alpha, min=1e-10)
+        rgb = (1.0 - alpha) + rgb
+        return rgb, alpha, depth
+
     @staticmethod
     def pack_hits_uv(tri_ids, ts, uvs, cap: int):
         """pack_hits for the UV transport: -> (slots, ts, uv) packed."""

@@ -125,7 +125,7 @@ def main():
             o, dirs[s:s + chunk]
         )
         slots, tri_p, ts_p = renderer.pack_hits(
-            tri_ids, ts, cap=int(o.shape[0] * 1.5)
+            tri_ids, ts, cap=int(o.shape[0] * 1.25)
         )
         staged.append((
             jnp.asarray(dirs[s:s + chunk]), jnp.asarray(slots),
@@ -162,7 +162,7 @@ def main():
             o, dirs[s:s + chunk]
         )
         slots, ts_p, uv_p = renderer.pack_hits_uv(
-            tri_ids, ts, uvs, cap=int(o.shape[0] * 1.5)
+            tri_ids, ts, uvs, cap=int(o.shape[0] * 1.25)
         )
         staged_uv.append((
             jnp.asarray(dirs[s:s + chunk]), jnp.asarray(slots),
@@ -182,6 +182,28 @@ def main():
         return outs[-1]
 
     timeit(f"full UV frame ({N_CHUNKS} dispatch)", full_frame_uv, maps)
+
+    render_uv_cam = jax.jit(renderer._render_packed_uv_cam_impl,
+                            static_argnums=(6, 7, 8, 9))
+
+    def full_frame_uv_cam(maps):
+        outs = []
+        start = 0
+        for _, slots, uv_p, ts_p, n_chunk in staged_uv:
+            rgb, _, _ = render_uv_cam(
+                maps, cam_dev, jnp.float32(start), slots, uv_p, ts_p,
+                n_chunk, MAX_HITS, W, FOCAL)
+            outs.append(rgb)
+            start += n_chunk
+        return outs[-1]
+
+    cam_dev = jnp.asarray(cam)
+    r_gather = full_frame_uv(maps)
+    r_cam = full_frame_uv_cam(maps)
+    err = float(jnp.max(jnp.abs(r_gather - r_cam)))
+    print(f"uv-cam vs uv-gather max err: {err:.2e}", flush=True)
+    timeit(f"full UV+cam frame ({N_CHUNKS} dispatch)", full_frame_uv_cam,
+           maps)
 
     # components at chunk shapes (first chunk)
     from quadraturefields_tpu.ops import scan
