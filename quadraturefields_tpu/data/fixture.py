@@ -104,7 +104,8 @@ def make_fixture_scene(**kw) -> FixtureScene:
     return FixtureScene(**kw)
 
 
-def render_fixture_view(scene, c2w, res, focal, step=5e-3):
+def render_fixture_view(scene, c2w, res, focal, step=5e-3,
+                        chunk: int = 4096):
     x, y = np.meshgrid(
         np.arange(res, dtype=np.float32),
         np.arange(res, dtype=np.float32),
@@ -122,10 +123,20 @@ def render_fixture_view(scene, c2w, res, focal, step=5e-3):
     dirs = dirs_cam @ c2w[:3, :3].T
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
     origins = np.broadcast_to(c2w[:3, 3], dirs.shape).astype(np.float32)
-    rgb, opacity = scene.render_rays(
-        origins, dirs.astype(np.float32), step=step
+    # chunked: the full-view [rays, steps, 3] intermediates reach
+    # ~6 GB at res 200 and thrash the throttled single-core host
+    rgbs, ops = [], []
+    dirs = dirs.astype(np.float32)
+    for i in range(0, dirs.shape[0], chunk):
+        rgb, opacity = scene.render_rays(
+            origins[i:i + chunk], dirs[i:i + chunk], step=step
+        )
+        rgbs.append(rgb)
+        ops.append(opacity)
+    return (
+        np.concatenate(rgbs).reshape(res, res, 3),
+        np.concatenate(ops).reshape(res, res, 1),
     )
-    return rgb.reshape(res, res, 3), opacity.reshape(res, res, 1)
 
 
 def write_fixture_dataset(
