@@ -459,6 +459,18 @@ def presorted_row_segment_sum(keys, vals, n_segments: int, *,
     """
     m, rw = vals.shape
     assert LANES % rw == 0, rw
+    if _use_interpret():
+        # CPU backend (tests, dryrun meshes): the interpret-mode Pallas
+        # kernel is orders slower AND its ShapeDtypeStruct out_shape
+        # trips shard_map's check_vma — use XLA's segment_sum, exactly
+        # like grad_mode "auto" resolves to "exact" off-chip
+        seg = jax.ops.segment_sum(
+            vals.astype(jnp.float32),
+            jnp.clip(keys, 0, n_segments),
+            num_segments=n_segments + 1,
+            indices_are_sorted=True,
+        )
+        return seg[:n_segments]
     epr = LANES // rw
     spr_ = LANES // rw
     q_ = -(-max(j_tile // spr_, 1) // 128) * 128
@@ -622,3 +634,24 @@ def sorted_table_grad(idx, v0, v1, total_entries: int):
     )
     flat = out.reshape(-1)[: total_entries * 2]
     return flat.reshape(total_entries, 2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def presorted_row_segment_sum_vjp(keys, vals, n_segments: int):
+    """Differentiable presorted_row_segment_sum (d vals = g[keys]):
+    drop-in for jax.ops.segment_sum on ray-sorted packed render streams
+    inside training losses."""
+    return presorted_row_segment_sum(keys, vals, n_segments)
+
+
+def _psum_fwd(keys, vals, n_segments):
+    return presorted_row_segment_sum(keys, vals, n_segments), keys
+
+
+def _psum_bwd(n_segments, keys, g):
+    k = jnp.clip(keys, 0, n_segments - 1)
+    dv = jnp.where((keys < n_segments)[:, None], g[k], 0.0)
+    return (None, dv)
+
+
+presorted_row_segment_sum_vjp.defvjp(_psum_fwd, _psum_bwd)

@@ -82,17 +82,30 @@ def _composite(
         vis = vis & (alphas >= alpha_thre)
     weights = jnp.where(vis & samples.valid, weights, 0.0)
 
-    colors = scan.accumulate_along_rays(
-        weights, samples.ray_indices, rgbs, n_rays
-    )
-    opacity = scan.accumulate_along_rays(
-        weights, samples.ray_indices, None, n_rays
-    )
+    # ONE presorted windowed-MXU segment sum for color+opacity+depth
+    # (ray_indices are sorted by construction — compact_indices): the
+    # three segment_sum row scatters cost ~81 ns/row on v5e where the
+    # kernel costs ~2 ns/row (hashgrid_sorted.py); differentiable via
+    # custom VJP (d vals = g[ray]).
+    from ..ops.hashgrid_sorted import presorted_row_segment_sum_vjp
+
     t_mid = (samples.t_starts + samples.t_ends) / 2.0
-    depth = scan.accumulate_along_rays(
-        weights, samples.ray_indices, t_mid[..., None], n_rays
+    w = weights[:, None]
+    vals8 = jnp.concatenate(
+        [
+            w * rgbs,                                 # 0:3
+            w,                                        # 3
+            w * t_mid[:, None],                       # 4
+            jnp.zeros((weights.shape[0], 3), jnp.float32),
+        ],
+        axis=1,
     )
-    depth = depth / jnp.clip(opacity, min=1e-10)
+    acc = presorted_row_segment_sum_vjp(
+        samples.ray_indices, vals8, n_rays
+    )
+    colors = acc[:, 0:3]
+    opacity = acc[:, 3:4]
+    depth = acc[:, 4:5] / jnp.clip(acc[:, 3:4], min=1e-10)
     if render_bkgd is not None:
         colors = colors + render_bkgd * (1.0 - opacity)
     return colors, opacity, depth, weights

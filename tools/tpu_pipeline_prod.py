@@ -37,8 +37,11 @@ from quadraturefields_tpu.data.fixture import write_fixture_dataset
 data_root = "/tmp/qf_tpu_prod/data"
 out_dir = "/tmp/qf_tpu_prod/out"
 os.makedirs(out_dir, exist_ok=True)
-write_fixture_dataset(data_root, res=200, n_train=12, n_test=2)
-lap("fixture written (200x200, 12 train / 2 test)")
+if not os.path.exists(
+    os.path.join(data_root, "fixture", "transforms_test.json")
+):
+    write_fixture_dataset(data_root, res=200, n_train=12, n_test=2)
+lap("fixture ready (200x200, 12 train / 2 test)")
 
 from quadraturefields_tpu.train.stage1_ngp import Stage1Config, Stage1Trainer
 
@@ -47,7 +50,7 @@ cfg1 = Stage1Config(
     scene="fixture", data_root=data_root, root=out_dir,
     max_steps=1200, init_batch_size=4096, batch_size_log2=16,
     grid_resolution=128, render_step_size=5e-3,
-    num_lobes=0, eval_chunk=8192, ckpt_every=10**9, log_every=400,
+    num_lobes=0, eval_chunk=2048, ckpt_every=10**9, log_every=400,
 )
 t1 = Stage1Trainer(cfg1)
 while t1.step <= cfg1.max_steps:
