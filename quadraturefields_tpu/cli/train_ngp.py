@@ -45,6 +45,10 @@ def build_parser():
                    choices=["corner", "cell"],
                    help="hash-table layout: corner = tcnn parity, "
                         "cell = one gather per level (hashgrid.py)")
+    p.add_argument("--grad_payload", type=str, default="f32",
+                   choices=["f32", "bf16pair", "bf16sim"],
+                   help="cell-layout table-gradient contribution "
+                        "precision (hashgrid.py)")
     p.add_argument("--scene_type", type=str, default="auto",
                    choices=["auto", "synthetic", "360"],
                    help="force the scene family (auto: 360 scene names "
@@ -60,6 +64,7 @@ def main(argv=None):
         interp=args.interp,
         grad_mode=args.grad_mode,
         layout=args.layout,
+        grad_payload=args.grad_payload,
         scene=args.scene,
         data_root=args.data_root,
         exp_name=args.exp_name,
