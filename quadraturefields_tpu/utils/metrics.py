@@ -37,7 +37,12 @@ def _gaussian_kernel(size=11, sigma=1.5):
 
 def ssim(img0, img1, max_val: float = 1.0, kernel_size=11, sigma=1.5):
     """Mean SSIM over channels, gaussian-windowed (torchmetrics
-    defaults). Inputs: [H, W, C] in [0, max_val]."""
+    defaults). Inputs: [H, W, C] in [0, max_val]; out-of-range values
+    (an unclipped SG composite can exceed 1) are clipped — otherwise
+    the ratio exceeds its [−1, 1] bound (a 42 dB fixture eval reported
+    SSIM 1.073)."""
+    img0 = jnp.clip(img0, 0.0, max_val)
+    img1 = jnp.clip(img1, 0.0, max_val)
     kernel = _gaussian_kernel(kernel_size, sigma)
     kernel = kernel[:, :, None, None]  # HWIO
 
