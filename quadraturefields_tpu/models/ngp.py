@@ -41,6 +41,9 @@ class NGPConfig:
     max_resolution: int = 4096
     geo_feat_dim: int = 15
     n_levels: int = 16
+    # features per level (tcnn F); the cell layout supports any even F
+    # — L=8/F=4 halves the gather-index count at the same output dim
+    n_features: int = 2
     log2_hashmap_size: int = 19
     num_g_lobes: int = 3
     hidden_size: int = 64
@@ -69,7 +72,7 @@ class NGPConfig:
             self.max_resolution,
             n_levels=self.n_levels,
             base_resolution=self.base_resolution,
-            n_features=2,
+            n_features=self.n_features,
             log2_hashmap_size=log2_t,
             dtype=self.table_dtype,
             interp=self.interp,

@@ -379,19 +379,25 @@ def _cell_bwd(cfg: HashGridConfig, saved, g):
     if mode == "auto":
         on_accel = jax.default_backend() != "cpu"
         mode = "sorted" if on_accel else "exact"
-    if mode == "sorted" and cfg.grad_payload == "bf16pair" and F == 2:
-        # feature-pair path: contributions packed as one u32 of two
-        # bf16s through a 9-operand sort — halves sort payload + kernel
-        # DMA bytes (sort17-f32 60.8 vs sort9-u32 37.4 ms, profiles/
-        # profile_cell_bwd.py "sortbytes2"). Individual contributions
-        # round to bf16; accumulation stays f32 (tcnn accumulates its
-        # table gradient in fp16 atomics, ngp.py:340-358 upstream).
+    if mode == "sorted" and cfg.grad_payload == "bf16pair" and F % 2 == 0:
+        # feature-pair path: consecutive feature contributions packed
+        # as one u32 of two bf16s through a (1 + 4F)-operand sort —
+        # halves sort payload + kernel DMA bytes (sort17-f32 60.8 vs
+        # sort9-u32 37.4 ms, profiles/profile_cell_bwd.py "sortbytes2").
+        # Individual contributions round to bf16; accumulation stays
+        # f32 (tcnn accumulates its table gradient in fp16 atomics,
+        # ngp.py:340-358 upstream). Pair lane k = (corner k//(F/2),
+        # feature pair k%(F/2)): lo/hi [nL, 4F] with
+        # lo[nl, k] = w8[nl, k//(F/2)] * g[nl, 2*(k%(F/2))].
         from .hashgrid_sorted import sorted_pair_grad
 
-        w8r = w8.reshape(n * L, 8)
+        half = F // 2
         g2 = g32.reshape(n * L, F)
+        wk = jnp.repeat(w8.reshape(n * L, 8), half, axis=1)  # [nL, 4F]
+        g_lo = jnp.tile(g2[:, 0::2], (1, 8))                 # [nL, 4F]
+        g_hi = jnp.tile(g2[:, 1::2], (1, 8))
         d_table = sorted_pair_grad(
-            flat_idx, w8r * g2[:, 0:1], w8r * g2[:, 1:2],
+            flat_idx, wk * g_lo, wk * g_hi,
             cfg.total_entries,
         ).astype(table_dtype)
     else:

@@ -65,6 +65,8 @@ class Stage1Config:
     grad_mode: str = "auto"   # table-gradient strategy (hashgrid.py)
     layout: str = "corner"    # hash-table layout (hashgrid.py)
     grad_payload: str = "f32"  # cell table-grad precision (hashgrid.py)
+    n_levels: int = 16        # hash-grid levels (tcnn L)
+    n_features: int = 2       # features per level (tcnn F)
     scale: float = 1.5
     lr: float = 1e-2
     weight_decay: Optional[float] = None  # per-scene default if None
@@ -143,6 +145,8 @@ class Stage1Config:
             unbounded=self.is_unbounded,
             num_g_lobes=self.num_lobes,
             num_layers=self.num_layers,
+            n_levels=self.n_levels,
+            n_features=self.n_features,
             log2_hashmap_size=self.log2_hashmap_size,
             compute_dtype=self.compute_dtype,
             interp=self.interp,

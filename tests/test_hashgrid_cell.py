@@ -252,3 +252,53 @@ def test_cell_bf16pair_close_to_f32_grad():
     err = float(jnp.max(jnp.abs(g_pair - g_f32)))
     scale = float(jnp.max(jnp.abs(g_f32))) + 1e-9
     assert err / scale < 1.5e-2, (err, scale)
+
+
+@pytest.mark.parametrize("interp", ["cube", "tet"])
+def test_cell_f4_custom_vjp_matches_autodiff(interp):
+    """L8/F4 cell variant: custom VJP == autodiff through the pure
+    forward (any even F is supported; F=4 halves gather indices)."""
+    cfg = HashGridConfig(
+        n_levels=4, n_features=4, log2_hashmap_size=9,
+        base_resolution=4, per_level_scale=1.6, layout="cell",
+        interp=interp, grad_mode="exact",
+    )
+    key = jax.random.PRNGKey(0)
+    table = hashgrid_init(key, cfg)
+    assert table.shape[1] == 32
+    x = jax.random.uniform(jax.random.PRNGKey(1), (256, 3))
+
+    def loss(t):
+        return jnp.sum(jnp.sin(hashgrid_encode(t, x, cfg)) ** 2)
+
+    def loss_pure(t):
+        out, _ = _cell_fwd_impl(t, x, cfg)
+        return jnp.sum(jnp.sin(out) ** 2)
+
+    g = jax.grad(loss)(table)
+    g_ref = jax.grad(loss_pure)(table)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_cell_f4_bf16pair_close_to_f32():
+    import dataclasses as dc
+
+    cfg = HashGridConfig(
+        n_levels=4, n_features=4, log2_hashmap_size=9,
+        base_resolution=4, per_level_scale=1.6, layout="cell",
+        grad_mode="sorted", grad_payload="bf16pair",
+    )
+    cfg_f32 = dc.replace(cfg, grad_payload="f32")
+    key = jax.random.PRNGKey(0)
+    table = hashgrid_init(key, cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (512, 3))
+
+    def loss(t, c):
+        return jnp.sum(jnp.sin(hashgrid_encode(t, x, c)))
+
+    g_pair = jax.grad(lambda t: loss(t, cfg))(table)
+    g_f32 = jax.grad(lambda t: loss(t, cfg_f32))(table)
+    err = float(jnp.max(jnp.abs(g_pair - g_f32)))
+    scale = float(jnp.max(jnp.abs(g_f32))) + 1e-9
+    assert err / scale < 1.5e-2, (err, scale)
