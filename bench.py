@@ -54,7 +54,8 @@ BASELINE_SAMPLES_PER_SEC = 2.6e7  # estimated RTX-3090 stage-1 throughput
 TARGET_MULTIPLIER = 2.0
 
 
-def bench_stage1(layout: str = "corner", grad_payload: str = "f32"):
+def bench_stage1(layout: str = "corner", grad_payload: str = "f32",
+                 n_levels: int = 16, n_features: int = 2):
     import jax
     import jax.numpy as jnp
     import optax
@@ -80,6 +81,7 @@ def bench_stage1(layout: str = "corner", grad_payload: str = "f32"):
     ngp_cfg = NGPConfig(
         head="sg", num_g_lobes=2, log2_hashmap_size=19, interp="tet",
         layout=layout, grad_payload=grad_payload,
+        n_levels=n_levels, n_features=n_features,
     )
     step_size = 5e-3
     rcfg = RenderConfig(
