@@ -44,6 +44,11 @@ class FieldConfig:
     table_dtype: str = "float32"
     interp: str = "cube"  # "tet" halves table lookups (see hashgrid.py)
     grad_mode: str = "auto"  # table-gradient strategy (see hashgrid.py)
+    # cell layout / reduced-precision gradient payload work for the
+    # field encoder exactly as for the NGP one (hashgrid.py); the
+    # log2_hashmap_size keeps its per-level parameter meaning
+    layout: str = "corner"
+    grad_payload: str = "f32"
 
     @property
     def hashgrid(self) -> HashGridConfig:
@@ -52,15 +57,20 @@ class FieldConfig:
             math.log(self.max_resolution * self.scale / self.min_resolution)
             / (self.n_levels - 1)
         )
+        log2_t = self.log2_hashmap_size
+        if self.layout == "cell":
+            log2_t = max(log2_t - 3, 4)
         return HashGridConfig(
             n_levels=self.n_levels,
             n_features=self.num_features,
-            log2_hashmap_size=self.log2_hashmap_size,
+            log2_hashmap_size=log2_t,
             base_resolution=self.min_resolution,
             per_level_scale=b,
             dtype=self.table_dtype,
             interp=self.interp,
             grad_mode=self.grad_mode,
+            layout=self.layout,
+            grad_payload=self.grad_payload,
         )
 
     @property
