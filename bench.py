@@ -617,6 +617,8 @@ def bench_baked_fps():
 
 
 def main():
+    import threading
+
     # primary metric: the cell-layout encoding (round-3 redesign,
     # fixture PSNR parity-tested vs the exact corner path); corner
     # (tcnn-parity) reported as an extra
@@ -629,15 +631,46 @@ def main():
         fps, fps_times, device_fps = bench_baked_fps()
     except Exception as e:  # never lose the primary metric
         fps, fps_times, device_fps = None, [repr(e)], None
-    try:
-        s4_rays, s4_hits, bvh_rps = bench_stage4()
-    except Exception as e:
-        s4_rays, s4_hits, bvh_rps = None, repr(e), None
-    try:
-        s5_rays, s5_hits = bench_stage5()
-    except Exception as e:
-        s5_rays, s5_hits = None, repr(e)
 
+    # The stage-4/5 benches compile several fresh programs; the remote
+    # compile service has been observed to wedge indefinitely. Arm a
+    # watchdog that emits the JSON (with the secondary benches marked
+    # timed-out) rather than losing the primary metric entirely.
+    results = {"s4": (None, "timeout", None), "s5": (None, "timeout")}
+    emitted = threading.Event()
+
+    def emit_and_exit():
+        if emitted.is_set():
+            return
+        emitted.set()
+        s4_rays, s4_hits, bvh_rps = results["s4"]
+        s5_rays, s5_hits = results["s5"]
+        _emit(samples_per_sec, s1_windows, corner_sps, fps, fps_times,
+              device_fps, s4_rays, s4_hits, bvh_rps, s5_rays, s5_hits)
+
+    def watchdog():
+        import os as _os
+
+        emit_and_exit()
+        _os._exit(0)
+
+    timer = threading.Timer(1500.0, watchdog)
+    timer.daemon = True
+    timer.start()
+    try:
+        results["s4"] = bench_stage4()
+    except Exception as e:
+        results["s4"] = (None, repr(e), None)
+    try:
+        results["s5"] = bench_stage5()
+    except Exception as e:
+        results["s5"] = (None, repr(e))
+    timer.cancel()
+    emit_and_exit()
+
+
+def _emit(samples_per_sec, s1_windows, corner_sps, fps, fps_times,
+          device_fps, s4_rays, s4_hits, bvh_rps, s5_rays, s5_hits):
     out = {
         "metric": "stage1_train_samples_per_sec",
         "value": round(samples_per_sec, 1),
@@ -681,7 +714,7 @@ def main():
             ],
         },
     }
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
