@@ -165,3 +165,128 @@ def make_sp_render(
         )
 
     return render
+
+
+def make_dp_sp_render(
+    mesh: Mesh,
+    aabb,
+    ngp_cfg: NGPConfig,
+    rcfg: RenderConfig,
+    dp_axis: str = "data",
+    sp_axis: str = "sample",
+):
+    """2-D composition: rays shard over `dp_axis`, march depth over
+    `sp_axis` — the DPxSP mesh the scaling plan calls for (SURVEY
+    §2.4/§5.7). Each (d, s) chip marches its ray shard's s-th t-window;
+    the transmittance stitch (all_gather of per-window optical depth +
+    psum of T_in-scaled partials) rides ONLY the sp axis, so
+    collectives stay within an sp ring and dp needs no communication
+    at all in the forward.
+
+    Returns render(params, occ_state, origins, viewdirs, ...) with
+    origins/viewdirs globally [R, 3]; R must divide by the dp size.
+    Output rgb/opacity/depth are [R, ...] (data-sharded in, gathered
+    out by jit); num_valid is the global total.
+    """
+    n_sp = mesh.shape[sp_axis]
+    dt = rcfg.render_step_size
+    w_steps = -(-rcfg.max_steps // n_sp)
+
+    def local(params, occ_state, origins, viewdirs, render_bkgd, u):
+        k = jax.lax.axis_index(sp_axis)
+        n_rays = origins.shape[0]
+        t_entry, _, _ = ray_aabb_intersect(
+            origins, viewdirs, occ_state.aabb
+        )
+        base = jnp.maximum(t_entry, rcfg.near_plane) + u * dt
+        near = base + k.astype(jnp.float32) * w_steps * dt
+        far = jnp.minimum(
+            base + (k + 1).astype(jnp.float32) * w_steps * dt,
+            rcfg.far_plane,
+        )
+        samples = occ_grid_sampling(
+            occ_state, origins, viewdirs,
+            render_step_size=dt,
+            max_steps=w_steps,
+            max_samples_total=rcfg.max_samples_total,
+            near_plane=near,
+            far_plane=far,
+            coarse_factor=rcfg.coarse_factor,
+            max_coarse_hits=rcfg.max_coarse_hits,
+        )
+        idx = jnp.clip(samples.ray_indices, 0, n_rays - 1)
+        t_mid = (samples.t_starts + samples.t_ends)[:, None] / 2.0
+        pos = origins[idx] + viewdirs[idx] * t_mid
+        rgbs, sigmas = ngp_forward(
+            params, pos, viewdirs[idx], aabb, ngp_cfg
+        )
+        sigmas = jnp.where(samples.valid, sigmas[..., 0], 0.0)
+
+        deltas = samples.t_ends - samples.t_starts
+        tau_local = scan.accumulate_along_rays(
+            sigmas * deltas, samples.ray_indices, None, n_rays
+        )[:, 0]
+        tau_all = jax.lax.all_gather(tau_local, sp_axis)   # [n_sp, R]
+        chip = jax.lax.broadcasted_iota(jnp.int32, (n_sp, 1), 0)
+        tau_prefix = jnp.sum(
+            jnp.where(chip < k, tau_all, 0.0), axis=0
+        )
+        t_in = jnp.exp(-tau_prefix)
+
+        boundaries = scan.mark_pack_boundaries(samples.ray_indices)
+        weights, trans, alphas = scan.render_weight_from_density(
+            samples.t_starts, samples.t_ends, sigmas, boundaries
+        )
+        trans_global = trans * t_in[idx]
+        vis = trans_global >= rcfg.early_stop_eps
+        if rcfg.alpha_thre > 0:
+            vis = vis & (alphas >= rcfg.alpha_thre)
+        weights = jnp.where(
+            vis & samples.valid, weights * t_in[idx], 0.0
+        )
+
+        color_p = scan.accumulate_along_rays(
+            weights, samples.ray_indices, rgbs, n_rays
+        )
+        opac_p = scan.accumulate_along_rays(
+            weights, samples.ray_indices, None, n_rays
+        )
+        depth_p = scan.accumulate_along_rays(
+            weights, samples.ray_indices, t_mid, n_rays
+        )
+        color = jax.lax.psum(color_p, sp_axis)
+        opacity = jax.lax.psum(opac_p, sp_axis)
+        depth = jax.lax.psum(depth_p, sp_axis)
+        depth = depth / jnp.clip(opacity, min=1e-10)
+        if render_bkgd is not None:
+            color = color + render_bkgd * (1.0 - opacity)
+        nv = jax.lax.psum(
+            jax.lax.psum(samples.num_valid, sp_axis), dp_axis
+        )
+        return color, opacity, depth, nv
+
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(dp_axis), P(dp_axis), P(), P(dp_axis)),
+        out_specs=(P(dp_axis), P(dp_axis), P(dp_axis), P()),
+        check_rep=False,
+    )
+
+    @functools.partial(jax.jit, static_argnames=("stratified",))
+    def render(params, occ_state, origins, viewdirs, render_bkgd=None,
+               key=None, stratified: bool = False):
+        n_rays = origins.shape[0]
+        if stratified:
+            u = jax.random.uniform(key, (n_rays,))
+        else:
+            u = jnp.zeros((n_rays,))
+        bkgd = (
+            render_bkgd if render_bkgd is not None
+            else jnp.zeros(3)
+        )
+        return sharded(
+            params, occ_state, origins, viewdirs, bkgd, u
+        )
+
+    return render

@@ -326,3 +326,41 @@ def test_sp_render_stratified_alignment():
     np.testing.assert_allclose(outs[0][0], outs[1][0], atol=2e-4)
     np.testing.assert_allclose(outs[0][1], outs[1][1], atol=2e-4)
     assert outs[0][2] == outs[1][2]
+
+
+def test_dp_sp_2d_render_matches_single_device():
+    """2-D DPxSP mesh (rays over 'data', t-windows over 'sample'): the
+    2x4 sharded render must match the unsharded one; the transmittance
+    stitch rides only the sample axis (parallel/sp.py
+    make_dp_sp_render)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from quadraturefields_tpu.parallel.sp import make_dp_sp_render
+    from quadraturefields_tpu.render.renderer import render_rays_occgrid
+
+    (aabb, ngp_cfg, rcfg, params, occ_state,
+     origins, viewdirs, _) = _unsaturated_setup(n_rays=24)
+
+    ref = render_rays_occgrid(
+        params, aabb, ngp_cfg, occ_state, origins, viewdirs, rcfg,
+        render_bkgd=jnp.ones(3), stratified=False,
+    )
+    for shape in ((2, 4), (4, 2)):
+        devs = np.asarray(jax.devices()[: shape[0] * shape[1]]).reshape(
+            shape
+        )
+        mesh = Mesh(devs, ("data", "sample"))
+        render = make_dp_sp_render(mesh, aabb, ngp_cfg, rcfg)
+        rgb, opacity, depth, nv = render(
+            params, occ_state, origins, viewdirs,
+            render_bkgd=jnp.ones(3),
+        )
+        np.testing.assert_allclose(
+            np.asarray(rgb), np.asarray(ref.rgb), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(opacity), np.asarray(ref.opacity), atol=2e-4
+        )
+        assert int(nv) == int(ref.num_valid)
