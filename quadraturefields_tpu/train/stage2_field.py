@@ -69,6 +69,9 @@ class Stage2Config:
     log2_hashmap_size: int = 19  # stage-1 NGP table
     interp: str = "tet"       # hash-grid interpolation (hashgrid.py)
     grad_mode: str = "auto"   # table-gradient strategy (hashgrid.py)
+    layout: str = "corner"    # hash-table layout — must match the
+                              # upstream checkpoint (hashgrid.py)
+    grad_payload: str = "f32"  # cell table-grad precision
     field_log2_hashmap_size: int = 30  # field table (run script value)
     field_scale: float = 0.5
     field_max_res: int = 512
@@ -151,6 +154,8 @@ class Stage2Config:
             log2_hashmap_size=self.log2_hashmap_size,
             interp=self.interp,
             grad_mode=self.grad_mode,
+            layout=self.layout,
+            grad_payload=self.grad_payload,
         )
 
     def field_config(self) -> FieldConfig:
@@ -168,6 +173,8 @@ class Stage2Config:
             nl="elu",
             interp=self.interp,
             grad_mode=self.grad_mode,
+            layout=self.layout,
+            grad_payload=self.grad_payload,
         )
 
     def render_config(self) -> RenderConfig:

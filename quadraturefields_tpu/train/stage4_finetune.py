@@ -73,6 +73,9 @@ class Stage4Config:
     log2_hashmap_size: int = 19
     interp: str = "tet"       # hash-grid interpolation (hashgrid.py)
     grad_mode: str = "auto"   # table-gradient strategy (hashgrid.py)
+    layout: str = "corner"    # hash-table layout — must match the
+                              # upstream checkpoint (hashgrid.py)
+    grad_payload: str = "f32"  # cell table-grad precision
     scale: float = 1.5
     lr: float = 2e-2
     freeze_rf_steps: int = 300
@@ -151,6 +154,8 @@ class Stage4Config:
             log2_hashmap_size=self.log2_hashmap_size,
             interp=self.interp,
             grad_mode=self.grad_mode,
+            layout=self.layout,
+            grad_payload=self.grad_payload,
         )
 
     def field_config(self) -> FieldConfig:
@@ -168,6 +173,8 @@ class Stage4Config:
             nl="relu",
             interp=self.interp,
             grad_mode=self.grad_mode,
+            layout=self.layout,
+            grad_payload=self.grad_payload,
         )
 
     def render_config(self) -> RenderConfig:

@@ -55,6 +55,9 @@ class Stage5Config:
     log2_hashmap_size: int = 19
     interp: str = "tet"       # hash-grid interpolation (hashgrid.py)
     grad_mode: str = "auto"   # table-gradient strategy (hashgrid.py)
+    layout: str = "corner"    # hash-table layout — must match the
+                              # upstream checkpoint (hashgrid.py)
+    grad_payload: str = "f32"  # cell table-grad precision
     scale: float = 1.5
     lr: float = 2e-2
     grid_resolution: int = 128
@@ -101,6 +104,8 @@ class Stage5Config:
             log2_hashmap_size=self.log2_hashmap_size,
             interp=self.interp,
             grad_mode=self.grad_mode,
+            layout=self.layout,
+            grad_payload=self.grad_payload,
         )
 
     def teacher_config(self) -> NGPConfig:
@@ -112,6 +117,8 @@ class Stage5Config:
             log2_hashmap_size=self.log2_hashmap_size,
             interp=self.interp,
             grad_mode=self.grad_mode,
+            layout=self.layout,
+            grad_payload=self.grad_payload,
         )
 
 
