@@ -34,6 +34,13 @@ def build_parser():
                    choices=["auto", "exact", "sorted",
                             "stochastic"],
                    help="table-gradient strategy (hashgrid.py)")
+    p.add_argument("--layout", type=str, default="corner",
+                   choices=["corner", "cell"],
+                   help="hash-table layout (must match the upstream "
+                        "checkpoint; hashgrid.py)")
+    p.add_argument("--grad_payload", type=str, default="f32",
+                   choices=["f32", "bf16pair", "bf16sim"],
+                   help="cell table-gradient precision (hashgrid.py)")
     return p
 
 
@@ -42,6 +49,8 @@ def main(argv=None):
     cfg = Stage2Config(
         interp=args.interp,
         grad_mode=args.grad_mode,
+        layout=args.layout,
+        grad_payload=args.grad_payload,
         scene=args.scene,
         data_root=args.data_root,
         exp_name=args.exp_name,
