@@ -24,8 +24,20 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 import numpy as np
 
+from quadraturefields_tpu.utils.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+)
+
 T0 = time.time()
 LADDER = {}
+CKPT = "/tmp/qf_tpu_prod/stage_ckpts"
+os.makedirs(CKPT, exist_ok=True)
+
+
+def _done(stage):
+    return os.path.exists(os.path.join(CKPT, stage, "_METADATA")) or \
+        os.path.isdir(os.path.join(CKPT, stage))
 
 
 def lap(msg):
@@ -53,9 +65,23 @@ cfg1 = Stage1Config(
     num_lobes=0, eval_chunk=2048, ckpt_every=10**9, log_every=400,
 )
 t1 = Stage1Trainer(cfg1)
-while t1.step <= cfg1.max_steps:
-    t1.train_one_step()
-m1 = t1.evaluate()
+if _done("stage1"):
+    st = load_checkpoint(os.path.join(CKPT, "stage1"))
+    t1.params = st["params"]
+    t1.occ_state = t1.occ_state._replace(
+        occs=st["occs"], binaries=st["binaries"]
+    )
+    m1 = {"psnr": float(st["psnr"])}
+    lap(f"stage1 RESUMED from checkpoint (psnr {m1['psnr']:.2f})")
+else:
+    while t1.step <= cfg1.max_steps:
+        t1.train_one_step()
+    m1 = t1.evaluate()
+    save_checkpoint(os.path.join(CKPT, "stage1"), {
+        "params": t1.params, "occs": t1.occ_state.occs,
+        "binaries": t1.occ_state.binaries,
+        "psnr": np.float32(m1["psnr"]),
+    })
 LADDER["stage1"] = {"psnr": m1["psnr"], "wall_s": time.time() - t_stage}
 lap(f"stage1 done: eval {m1}")
 assert m1["psnr"] > 20, m1
@@ -70,21 +96,38 @@ cfg2 = Stage2Config(
     field_log2_hashmap_size=19, field_max_res=256,
     grid_export_size=256, ckpt_every=10**9, log_every=10**9,
 )
-t2 = Stage2Trainer(cfg2, ngp_params=t1.params, occ_state=t1.occ_state)
-while t2.step <= cfg2.max_steps:
-    t2.train_one_step()
-t2.export_artifacts(out_dir)
+if os.path.exists(os.path.join(out_dir, "grads_valid.npy")) and \
+        os.path.exists(
+            os.path.join(out_dir, "density_grids_valid.npy")):
+    lap("stage2 RESUMED (artifacts on disk)")
+else:
+    t2 = Stage2Trainer(
+        cfg2, ngp_params=t1.params, occ_state=t1.occ_state
+    )
+    while t2.step <= cfg2.max_steps:
+        t2.train_one_step()
+    t2.export_artifacts(out_dir)
 LADDER["stage2"] = {"wall_s": time.time() - t_stage}
 lap("stage2 done + 256^3 artifacts exported")
 
 from quadraturefields_tpu.geometry.extract import downsample_mesh, extract_mesh
 
 t_stage = time.time()
-mesh = extract_mesh(
-    out_dir, sigma=100.0, include_grad=True, omega=30.0, thres=0.0,
-    combine=True, grad_thres=1e-4, density_thres=5.0, save=True,
-)
-smp = downsample_mesh(mesh, vx=150.0)
+from quadraturefields_tpu.geometry.meshio import Mesh, load_ply
+
+smp_path = os.path.join(out_dir, "smp_mesh.ply")
+if os.path.exists(smp_path):
+    smp = load_ply(smp_path)
+    mesh = smp
+    lap("stage3 RESUMED (smp_mesh.ply on disk)")
+else:
+    mesh = extract_mesh(
+        out_dir, sigma=100.0, include_grad=True, omega=30.0, thres=0.0,
+        combine=True, grad_thres=1e-4, density_thres=5.0, save=True,
+    )
+    smp = downsample_mesh(mesh, vx=150.0)
+    from quadraturefields_tpu.geometry.meshio import save_ply
+    save_ply(smp_path, smp)
 LADDER["stage3"] = {
     "faces": int(mesh.faces.shape[0]),
     "faces_decimated": int(smp.faces.shape[0]),
@@ -110,11 +153,29 @@ cfg4 = Stage4Config(
 t4 = Stage4Trainer(
     cfg4, ngp_params=t1.params, occ_state=t1.occ_state, mesh=smp
 )
-while t4.step <= cfg4.max_steps:
-    loss, nh, mse = t4.train_one_step()
-    if t4.step == cfg4.mesh_update_every:
-        t4.apply_mesh_update()
-t4.prefetcher.stop()
+if _done("stage4"):
+    st = load_checkpoint(os.path.join(CKPT, "stage4"))
+    t4.params = st["params"]
+    t4.occ_state = t4.occ_state._replace(
+        occs=st["occs"], binaries=st["binaries"]
+    )
+    t4.mesh_intersect.mesh.vertices[:] = np.asarray(st["verts"])
+    t4.mesh_intersect.bvh.update_vertices(np.asarray(st["verts"]))
+    loss = st["last_loss"]
+    t4.prefetcher.stop()
+    lap("stage4 RESUMED from checkpoint")
+else:
+    while t4.step <= cfg4.max_steps:
+        loss, nh, mse = t4.train_one_step()
+        if t4.step == cfg4.mesh_update_every:
+            t4.apply_mesh_update()
+    t4.prefetcher.stop()
+    save_checkpoint(os.path.join(CKPT, "stage4"), {
+        "params": t4.params, "occs": t4.occ_state.occs,
+        "binaries": t4.occ_state.binaries,
+        "verts": np.asarray(t4.mesh_intersect.mesh.vertices),
+        "last_loss": np.float32(float(loss)),
+    })
 LADDER["stage4"] = {"last_loss": float(loss),
                     "wall_s": time.time() - t_stage}
 lap(f"stage4 done (last loss {float(loss):.5f})")
@@ -135,9 +196,20 @@ t5 = Stage5Trainer(
     cfg5, teacher_params=t4.params["rf"], occ_state=t4.occ_state,
     mesh=t4.mesh_intersect.mesh,
 )
-while t5.step <= cfg5.max_steps:
-    loss5, nh, mse5 = t5.train_one_step()
-t5.prefetcher.stop()
+if _done("stage5"):
+    st = load_checkpoint(os.path.join(CKPT, "stage5"))
+    t5.sg_params = st["sg_params"]
+    loss5 = st["last_loss"]
+    t5.prefetcher.stop()
+    lap("stage5 RESUMED from checkpoint")
+else:
+    while t5.step <= cfg5.max_steps:
+        loss5, nh, mse5 = t5.train_one_step()
+    t5.prefetcher.stop()
+    save_checkpoint(os.path.join(CKPT, "stage5"), {
+        "sg_params": t5.sg_params,
+        "last_loss": np.float32(float(loss5)),
+    })
 LADDER["stage5"] = {"last_loss": float(loss5),
                     "wall_s": time.time() - t_stage}
 lap(f"stage5 done (last loss {float(loss5):.5f})")
