@@ -49,6 +49,12 @@ def build_parser():
                    choices=["f32", "bf16pair", "bf16sim"],
                    help="cell-layout table-gradient contribution "
                         "precision (hashgrid.py)")
+    p.add_argument("--n_levels", type=int, default=16,
+                   help="hash-grid levels (tcnn L; the cell layout at "
+                        "L=8/F=4 halves forward gathers at parity — "
+                        "tools/quality_parity.py)")
+    p.add_argument("--n_features", type=int, default=2,
+                   help="features per level (tcnn F)")
     p.add_argument("--scene_type", type=str, default="auto",
                    choices=["auto", "synthetic", "360"],
                    help="force the scene family (auto: 360 scene names "
@@ -65,6 +71,8 @@ def main(argv=None):
         grad_mode=args.grad_mode,
         layout=args.layout,
         grad_payload=args.grad_payload,
+        n_levels=args.n_levels,
+        n_features=args.n_features,
         scene=args.scene,
         data_root=args.data_root,
         exp_name=args.exp_name,
