@@ -42,6 +42,9 @@ VARIANTS = [
                        n_levels=8, n_features=4)),
     ("cell_bf16sim", dict(interp="tet", layout="cell",
                           grad_payload="bf16sim")),
+    ("cell_l8f4_bf16sim", dict(interp="tet", layout="cell",
+                               n_levels=8, n_features=4,
+                               grad_payload="bf16sim")),
 ]
 
 
