@@ -10,6 +10,7 @@ Components timed separately (each jitted, host-transfer synced):
 
 Run (idle chip): python tools/profiles/profile_march.py
 """
+import os
 import sys
 import time
 
@@ -17,6 +18,8 @@ sys.path.insert(0, "/root/repo")
 
 import jax
 
+if os.environ.get("QF_FORCE_CPU"):  # correctness smoke off-chip
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/qf_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
