@@ -617,12 +617,34 @@ def bench_baked_fps():
 
 
 def main():
+    import os
     import threading
+
+    # The axon tunnel has been observed to wedge at the PJRT-client
+    # level (jax.devices() blocks indefinitely, 2026-08-18). If the
+    # primary bench hasn't completed well past its cold-compile budget,
+    # emit an honest zero-value line rather than hanging the driver.
+    def unreachable():
+        print(json.dumps({
+            "metric": "stage1_train_samples_per_sec", "value": 0,
+            "unit": "samples/s", "vs_baseline": 0.0,
+            "extra": {"error": "TPU unreachable: primary bench did not "
+                               "complete within the watchdog budget"},
+        }), flush=True)
+        os._exit(0)
+
+    early = threading.Timer(
+        float(os.environ.get("QF_BENCH_TUNNEL_TIMEOUT_S", 2400)),
+        unreachable,
+    )
+    early.daemon = True
+    early.start()
 
     # primary metric: the cell-layout encoding (round-3 redesign,
     # fixture PSNR parity-tested vs the exact corner path); corner
     # (tcnn-parity) reported as an extra
     samples_per_sec, s1_windows = bench_stage1(layout="cell")
+    early.cancel()
     try:
         corner_sps, _ = bench_stage1(layout="corner")
     except Exception as e:
