@@ -383,7 +383,17 @@ def _two_level_march(
     )
     pos_c = origins[:, None, :] + viewdirs[:, None, :] * seg_mid[..., None]
     coarse_bin = _dilated_coarse_binaries(state.binaries, cf)
-    occ_c = occupancy_lookup(coarse_bin, state.aabb, pos_c)
+    rc = coarse_bin.shape[0]
+    from .occ_bits import bits_lookup_applicable, occupancy_lookup_bits
+
+    if bits_lookup_applicable(rc):
+        # Pallas VMEM bit-table lookup — the coarse occupancy field
+        # packs into <= _MAX_BIT_ROWS [?,128] u32 rows, turning the
+        # march's largest HBM gather into lane shuffles (PERF_NOTES
+        # round-3, tools/profiles/profile_occ.py)
+        occ_c = occupancy_lookup_bits(coarse_bin, state.aabb, pos_c)
+    else:
+        occ_c = occupancy_lookup(coarse_bin, state.aabb, pos_c)
     mask_c = in_span_c & occ_c
 
     flat_c = mask_c.reshape(-1)

@@ -35,7 +35,7 @@ from ..render.renderer import RenderConfig, render_rays_occgrid
 from ..utils.batching import bucket_num_rays
 from ..utils.checkpoint import save_checkpoint
 from ..utils.metrics import lpips_metric, mse, psnr, smooth_l1_loss, ssim
-from ..utils.optim import make_ngp_optimizer
+from ..utils.optim import donate_if_accelerator, make_ngp_optimizer
 
 
 # reference scene-type switch (examples/utils.py:30-45)
@@ -281,7 +281,14 @@ class Stage1Trainer:
         self.step = 0
 
         self._occ_update = jax.jit(self._occ_update_impl)
-        self._train_step = jax.jit(self._train_step_impl)
+        # donate params/opt_state: train_one_step reassigns both from
+        # the outputs, so the old buffers are dead — saves an HBM copy
+        # of the hash tables every step (the bench harness measured the
+        # donated step as the honest training number, BASELINE.md)
+        self._train_step = jax.jit(
+            self._train_step_impl,
+            donate_argnums=donate_if_accelerator(0, 1),
+        )
         self._eval_render = jax.jit(self._eval_render_impl)
         self._window_render = None  # built lazily on first windowed eval
 

@@ -49,7 +49,7 @@ from ..utils.grid_export import (
     extract_field_grid,
     extract_field_grid_h5,
 )
-from ..utils.optim import make_ngp_optimizer
+from ..utils.optim import donate_if_accelerator, make_ngp_optimizer
 
 
 @dataclasses.dataclass
@@ -276,7 +276,11 @@ class Stage2Trainer:
         self.step = 0
 
         self._occ_update = jax.jit(self._occ_update_impl)
-        self._train_step = jax.jit(self._train_step_impl)
+        # field_params/opt_state are reassigned from the step outputs
+        self._train_step = jax.jit(
+            self._train_step_impl,
+            donate_argnums=donate_if_accelerator(0, 1),
+        )
 
     def _occ_update_impl(self, ngp_params, occ_state, step, key):
         def occ_eval_fn(x):

@@ -49,7 +49,7 @@ from ..render.renderer import RenderConfig, render_rays_occgrid
 from ..utils.batching import bucket_num_rays
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.metrics import lpips_metric, psnr, smooth_l1_loss, ssim
-from ..utils.optim import reference_lr_schedule
+from ..utils.optim import donate_if_accelerator, reference_lr_schedule
 
 
 @dataclasses.dataclass
@@ -297,11 +297,16 @@ class Stage4Trainer:
         )
 
         self._occ_update = jax.jit(self._occ_update_impl)
+        # params/opt_state/cache_d/cache_w are all reassigned from the
+        # step outputs each call (argnums exclude occ_state at 2)
+        _donate = donate_if_accelerator(0, 1, 3, 4)
         self._train_step_frozen = jax.jit(
-            lambda *a: self._train_step_impl(*a, freeze_rf=True)
+            lambda *a: self._train_step_impl(*a, freeze_rf=True),
+            donate_argnums=_donate,
         )
         self._train_step_joint = jax.jit(
-            lambda *a: self._train_step_impl(*a, freeze_rf=False)
+            lambda *a: self._train_step_impl(*a, freeze_rf=False),
+            donate_argnums=_donate,
         )
         self._eval_render = jax.jit(self._eval_render_impl)
 

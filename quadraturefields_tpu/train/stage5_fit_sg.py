@@ -32,7 +32,7 @@ from ..render.quadrature import HitRows, render_fit_sg_rows
 from ..utils.batching import bucket_num_rays
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.metrics import psnr, smooth_l1_loss, ssim
-from ..utils.optim import reference_lr_schedule
+from ..utils.optim import donate_if_accelerator, reference_lr_schedule
 
 
 @dataclasses.dataclass
@@ -213,7 +213,11 @@ class Stage5Trainer:
             depth=2,
         )
         self._occ_update = jax.jit(self._occ_update_impl)
-        self._train_step = jax.jit(self._train_step_impl)
+        # sg_params/opt_state are reassigned from the step outputs
+        self._train_step = jax.jit(
+            self._train_step_impl,
+            donate_argnums=donate_if_accelerator(0, 1),
+        )
         self._eval_render = jax.jit(self._eval_render_impl)
 
     def _occ_update_impl(self, occ_state, step, key):

@@ -10,8 +10,20 @@ of scale_by_adam.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import optax
+
+
+def donate_if_accelerator(*argnums):
+    """Donation argnums for a trainer step, or () on CPU.
+
+    Donating (params, opt_state, caches) saves an HBM copy of the hash
+    tables every step on TPU; on the CPU test backend donation is
+    unimplemented and every jitted call would warn, so it is disabled
+    there.
+    """
+    return argnums if jax.default_backend() != "cpu" else ()
 
 
 def reference_lr_schedule(
