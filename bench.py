@@ -66,6 +66,7 @@ def bench_stage1(layout: str = "corner", grad_payload: str = "f32",
         OccGridConfig,
         occ_grid_init,
         max_march_steps,
+        resolve_coarse_stride,
     )
     from quadraturefields_tpu.render.renderer import (
         RenderConfig,
@@ -84,11 +85,16 @@ def bench_stage1(layout: str = "corner", grad_payload: str = "f32",
         n_levels=n_levels, n_features=n_features,
     )
     step_size = 5e-3
+    stride, dil = resolve_coarse_stride(
+        -1, np.asarray(aabb), 128, 4, step_size
+    )
     rcfg = RenderConfig(
         render_step_size=step_size,
         max_steps=max_march_steps(np.asarray(aabb), step_size),
         max_samples_total=1 << 18,
         coarse_factor=4,
+        coarse_stride=stride,
+        coarse_dilation=dil,
     )
     occ_cfg = OccGridConfig(resolution=128)
 

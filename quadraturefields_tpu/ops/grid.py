@@ -30,6 +30,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @dataclasses.dataclass(frozen=True)
@@ -255,6 +256,8 @@ def occ_grid_sampling(
     key=None,
     coarse_factor: int = 0,   # >1 enables the two-level march
     max_coarse_hits: int = 0,  # static coarse-hit budget (two-level)
+    coarse_stride: int = 0,   # probe spacing in dt units (0 -> coarse_factor)
+    coarse_dilation: int = 0,  # dilation radius in coarse cells (0 -> auto)
     cone_angle: float = 0.0,   # >0: exponential step growth (360)
     contract_aabb=None,        # unbounded: world roi aabb; occupancy
                                # grid lives in contracted [0,1]^3
@@ -299,10 +302,29 @@ def occ_grid_sampling(
         and cone_angle == 0.0
         and state.binaries.shape[0] // coarse_factor >= 32
     ):
+        stride = coarse_stride or coarse_factor
+        # default coarse budget: keep the fine CANDIDATE count at
+        # max_samples_total * coarse_factor regardless of stride (each
+        # retained probe spawns `stride` fine sub-steps)
+        budget_c = max_coarse_hits or max(
+            max_samples_total * coarse_factor // stride, 1024
+        )
+        rc = state.binaries.shape[0] // coarse_factor
+        if coarse_dilation:
+            dil = coarse_dilation
+        elif isinstance(state.aabb, jax.core.Tracer):
+            # under jit the aabb extent is unknown at trace time; in the
+            # marching regime dt <= fine cell, so cell >= cf*dt bounds
+            # the required radius at ceil(stride/cf)
+            dil = max(1, -(-stride // coarse_factor))
+        else:
+            dil = _coarse_dilation_cells(
+                state.aabb, rc, stride, render_step_size
+            )
         return _two_level_march(
             state, origins, viewdirs, t_min, t_max, n_rays,
             render_step_size, max_steps, max_samples_total,
-            coarse_factor, max_coarse_hits or max_samples_total,
+            coarse_factor, budget_c, stride, dil,
         )
 
     knots = _cone_t_grid(t_min, render_step_size, cone_angle, max_steps)
@@ -345,44 +367,88 @@ def occ_grid_sampling(
     )
 
 
-def _dilated_coarse_binaries(binaries, cf: int):
-    """Max-pool the fine binaries by cf per axis, then dilate by one
-    coarse cell (3^3 max) so a coarse-segment midpoint test can never
-    miss a fine-occupied cell straddling a coarse boundary."""
+def _dilated_coarse_binaries(binaries, cf: int, dil: int = 1):
+    """Max-pool the fine binaries by cf per axis, then dilate by `dil`
+    coarse cells ((2*dil+1)^3 max) so a coarse-probe midpoint test can
+    never miss a fine-occupied cell within half a probe stride."""
     res = binaries.shape[0]
     rc = res // cf
     coarse = binaries.reshape(rc, cf, rc, cf, rc, cf).max(axis=(1, 3, 5))
     f = coarse.astype(jnp.float32)[None, :, :, :, None]  # NHWDC-ish
-    dil = jax.lax.reduce_window(
-        f, -jnp.inf, jax.lax.max, (1, 3, 3, 3, 1), (1, 1, 1, 1, 1),
+    w = 2 * dil + 1
+    out = jax.lax.reduce_window(
+        f, -jnp.inf, jax.lax.max, (1, w, w, w, 1), (1, 1, 1, 1, 1),
         "SAME",
     )
-    return dil[0, :, :, :, 0] > 0.0
+    return out[0, :, :, :, 0] > 0.0
+
+
+def _coarse_dilation_cells(aabb, rc: int, stride: int, dt: float) -> int:
+    """Dilation radius (in coarse cells) that keeps the strided probe a
+    strict superset of the fine march: a retained fine sample's midpoint
+    is within stride*dt of its probe (stride/2 spacing + the t_max
+    clamp), so the probe's cell is within ceil(stride*dt / cell) cells
+    of the sample's cell on every axis."""
+    ext = np.asarray(aabb[3:]) - np.asarray(aabb[:3])
+    cell = float(ext.min()) / rc
+    return max(1, int(np.ceil(stride * dt / cell - 1e-6)))
+
+
+def resolve_coarse_stride(setting: int, aabb, resolution: int, cf: int,
+                          dt: float):
+    """Trainer-config convention -> (coarse_stride, coarse_dilation):
+    -1 auto (one coarse cell), 0 legacy (stride = coarse_factor,
+    dilation 1), >0 explicit (dilation derived)."""
+    if cf <= 1:
+        return 0, 0
+    if setting == 0:
+        return 0, 0
+    if setting > 0:
+        rc = max(resolution // cf, 1)
+        return setting, _coarse_dilation_cells(aabb, rc, setting, dt)
+    return auto_coarse_stride(aabb, resolution, cf, dt)
+
+
+def auto_coarse_stride(aabb, resolution: int, cf: int, dt: float):
+    """(stride, dilation) for the strided two-level march: one coarse
+    cell's worth of dt steps — the largest stride whose superset
+    dilation radius stays at 1 cell (minimal false-positive growth).
+    Call with a CONCRETE aabb (trainer init), not under jit."""
+    rc = max(resolution // cf, 1)
+    ext = float(np.min(np.asarray(aabb)[3:] - np.asarray(aabb)[:3]))
+    stride = max(cf, int(ext / rc / dt))
+    return stride, _coarse_dilation_cells(aabb, rc, stride, dt)
 
 
 def _two_level_march(
     state, origins, viewdirs, t_min, t_max, n_rays,
     dt: float, max_steps: int, max_samples_total: int,
-    cf: int, max_coarse_hits: int,
+    cf: int, max_coarse_hits: int, stride: int, dil: int,
 ):
-    """Coarse pass at cf*dt granularity over a dilated cf-downsampled
-    grid, compaction, then fine refinement of surviving segments —
-    identical final sample set to the single-level march (the dilated
-    coarse mask is a strict superset), at ~cf x fewer occupancy
-    lookups. The TPU analog of nerfacc's DDA empty-space skipping."""
-    coarse_steps = -(-max_steps // cf)
+    """Coarse probe every stride*dt over a dilated cf-downsampled grid,
+    compaction, then fine refinement (stride sub-steps) of surviving
+    probes — identical final sample set to the single-level march (the
+    dilated coarse mask is a strict superset), at ~stride x fewer
+    occupancy lookups. The TPU analog of nerfacc's DDA empty-space
+    skipping. Decoupling the probe stride from the grid downsample
+    matters because the coarse CELL (cf * fine cell, e.g. 0.094 world
+    units at 128^3/cf=4) is typically several probe steps wide
+    (cf*dt = 0.02 at dt=5e-3): probing every cf*dt re-tests the same
+    coarse cell ~cell/(cf*dt) times. A stride near the cell size keeps
+    the superset guarantee (via the dilation radius) with ~4x fewer
+    coarse gathers and a ~4x smaller coarse compaction sort."""
+    coarse_steps = -(-max_steps // stride)
     steps_c = jnp.arange(coarse_steps, dtype=jnp.float32)
-    seg_mid = t_min[:, None] + (steps_c[None, :] + 0.5) * (cf * dt)
+    seg_mid = t_min[:, None] + (steps_c[None, :] + 0.5) * (stride * dt)
     # clamp the probe to just inside the span: a partial last segment's
     # midpoint can exit the AABB while its fine samples are still in
-    # (the 1-cell dilation covers the remaining <= cf*dt offset as long
-    # as dt <= fine cell size, the normal marching regime)
+    # (the dilation covers the remaining <= stride*dt offset)
     seg_mid = jnp.minimum(seg_mid, t_max[:, None] - 0.25 * dt)
     in_span_c = (
-        t_min[:, None] + steps_c[None, :] * (cf * dt) < t_max[:, None]
+        t_min[:, None] + steps_c[None, :] * (stride * dt) < t_max[:, None]
     )
     pos_c = origins[:, None, :] + viewdirs[:, None, :] * seg_mid[..., None]
-    coarse_bin = _dilated_coarse_binaries(state.binaries, cf)
+    coarse_bin = _dilated_coarse_binaries(state.binaries, cf, dil)
     rc = coarse_bin.shape[0]
     from .occ_bits import bits_lookup_applicable, occupancy_lookup_bits
 
@@ -403,10 +469,10 @@ def _two_level_march(
     ray_c = (sel_c_safe // coarse_steps).astype(jnp.int32)
     step_c = (sel_c_safe % coarse_steps).astype(jnp.int32)
 
-    # fine refinement: cf sub-steps per surviving coarse segment
-    ks = jnp.arange(cf, dtype=jnp.float32)
-    fine_step = step_c[:, None].astype(jnp.float32) * cf + ks[None, :]
-    ts_f = t_min[ray_c][:, None] + fine_step * dt        # [C, cf]
+    # fine refinement: stride sub-steps per surviving coarse probe
+    ks = jnp.arange(stride, dtype=jnp.float32)
+    fine_step = step_c[:, None].astype(jnp.float32) * stride + ks[None, :]
+    ts_f = t_min[ray_c][:, None] + fine_step * dt        # [C, stride]
     tm_f = ts_f + 0.5 * dt
     pos_f = (
         origins[ray_c][:, None, :]
@@ -430,12 +496,12 @@ def _two_level_march(
     sel_f = compact_indices(flat_f, max_samples_total)
     pad_f = sel_f >= flat_f.shape[0]
     sel_f_safe = jnp.where(pad_f, 0, sel_f)
-    ci = sel_f_safe // cf
-    ki = (sel_f_safe % cf).astype(jnp.float32)
+    ci = sel_f_safe // stride
+    ki = (sel_f_safe % stride).astype(jnp.float32)
     ray_idx = ray_c[ci]
     ts = (
         t_min[ray_idx]
-        + (step_c[ci].astype(jnp.float32) * cf + ki) * dt
+        + (step_c[ci].astype(jnp.float32) * stride + ki) * dt
     )
     te = ts + dt
     ray_idx = jnp.where(pad_f, n_rays, ray_idx)

@@ -87,6 +87,8 @@ def make_sp_render(
             far_plane=far,
             coarse_factor=rcfg.coarse_factor,
             max_coarse_hits=rcfg.max_coarse_hits,
+            coarse_stride=rcfg.coarse_stride,
+            coarse_dilation=rcfg.coarse_dilation,
         )
         idx = jnp.clip(samples.ray_indices, 0, n_rays - 1)
         t_mid = (samples.t_starts + samples.t_ends)[:, None] / 2.0
@@ -213,6 +215,8 @@ def make_dp_sp_render(
             far_plane=far,
             coarse_factor=rcfg.coarse_factor,
             max_coarse_hits=rcfg.max_coarse_hits,
+            coarse_stride=rcfg.coarse_stride,
+            coarse_dilation=rcfg.coarse_dilation,
         )
         idx = jnp.clip(samples.ray_indices, 0, n_rays - 1)
         t_mid = (samples.t_starts + samples.t_ends)[:, None] / 2.0

@@ -46,7 +46,12 @@ class RenderConfig:
     # granularity over a dilated downsampled grid (identical sample
     # set, ~coarse_factor x fewer occupancy lookups)
     coarse_factor: int = 0
-    max_coarse_hits: int = 0  # 0 -> max_samples_total
+    max_coarse_hits: int = 0  # 0 -> scaled from max_samples_total
+    # probe spacing in dt units (0 -> coarse_factor). A stride near the
+    # coarse CELL size (~cf * fine cell / dt steps) cuts the coarse
+    # occupancy gathers ~stride/cf x with an identical sample set.
+    coarse_stride: int = 0
+    coarse_dilation: int = 0  # dilation radius in coarse cells (0 -> auto)
 
 
 class RenderResult(NamedTuple):
@@ -148,6 +153,8 @@ def render_rays_occgrid(
         key=key,
         coarse_factor=rcfg.coarse_factor,
         max_coarse_hits=rcfg.max_coarse_hits,
+        coarse_stride=rcfg.coarse_stride,
+        coarse_dilation=rcfg.coarse_dilation,
         cone_angle=rcfg.cone_angle,
         contract_aabb=aabb if ngp_cfg.unbounded else None,
     )
@@ -215,6 +222,8 @@ def render_rays_field(
         key=key,
         coarse_factor=rcfg.coarse_factor,
         max_coarse_hits=rcfg.max_coarse_hits,
+        coarse_stride=rcfg.coarse_stride,
+        coarse_dilation=rcfg.coarse_dilation,
         cone_angle=rcfg.cone_angle,
         contract_aabb=aabb if ngp_cfg.unbounded else None,
     )

@@ -30,6 +30,7 @@ from ..ops.grid import (
     occ_grid_update,
     max_march_steps,
     max_march_steps_cone,
+    resolve_coarse_stride as _resolve_coarse_stride,
 )
 from ..render.renderer import RenderConfig, render_rays_occgrid
 from ..utils.batching import bucket_num_rays
@@ -87,6 +88,11 @@ class Stage1Config:
     seed: int = 42
     # two-level march factor (0 = single-level; exact either way)
     coarse_factor: int = 4
+    # coarse probe stride in dt units: -1 auto (one coarse cell — the
+    # largest stride with 1-cell dilation; ~4x fewer coarse occupancy
+    # gathers, identical sample set), 0 legacy (= coarse_factor), >0
+    # explicit
+    coarse_stride: int = -1
     max_num_rays: int = 1 << 20
     compute_dtype: str = "bfloat16"
     eval_views: Optional[int] = None  # limit test views (None = all)
@@ -165,6 +171,10 @@ class Stage1Config:
             max_steps = max_march_steps(
                 self.aabb, self.eff_render_step_size
             )
+        stride, dil = _resolve_coarse_stride(
+            self.coarse_stride, self.aabb, self.grid_resolution,
+            self.coarse_factor, self.eff_render_step_size,
+        )
         return RenderConfig(
             render_step_size=self.eff_render_step_size,
             near_plane=self.eff_near_plane,
@@ -174,6 +184,8 @@ class Stage1Config:
             max_steps=max_steps,
             max_samples_total=self.target_sample_batch_size,
             coarse_factor=0 if self.is_unbounded else self.coarse_factor,
+            coarse_stride=stride,
+            coarse_dilation=dil,
         )
 
 

@@ -40,6 +40,7 @@ from ..ops.grid import (
     occ_grid_update,
     max_march_steps,
     max_march_steps_cone,
+    resolve_coarse_stride as _resolve_coarse_stride,
 )
 from ..render.renderer import RenderConfig, render_rays_field
 from ..utils.batching import bucket_num_rays
@@ -88,6 +89,8 @@ class Stage2Config:
     seed: int = 42
     # two-level march factor (0 = single-level; exact either way)
     coarse_factor: int = 4
+    # coarse probe stride in dt units: -1 auto, 0 legacy, >0 explicit
+    coarse_stride: int = -1
     max_num_rays: int = 1 << 20
     export_grids: bool = True
     # field slice plots every N steps (reference train_field.py:374-383;
@@ -187,6 +190,10 @@ class Stage2Config:
             max_steps = max_march_steps(
                 self.aabb, self.eff_render_step_size
             )
+        stride, dil = _resolve_coarse_stride(
+            self.coarse_stride, self.aabb, self.grid_resolution,
+            self.coarse_factor, self.eff_render_step_size,
+        )
         return RenderConfig(
             render_step_size=self.eff_render_step_size,
             near_plane=self.eff_near_plane,
@@ -197,6 +204,8 @@ class Stage2Config:
             max_steps=max_steps,
             max_samples_total=self.target_sample_batch_size,
             coarse_factor=0 if self.is_unbounded else self.coarse_factor,
+            coarse_stride=stride,
+            coarse_dilation=dil,
         )
 
 

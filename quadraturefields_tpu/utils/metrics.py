@@ -47,22 +47,32 @@ def ssim(img0, img1, max_val: float = 1.0, kernel_size=11, sigma=1.5):
     kernel = kernel[:, :, None, None]  # HWIO
 
     def filt(x):
-        # x: [H, W, C] -> depthwise conv
+        # x: [H, W, C] -> depthwise conv. HIGHEST precision: the
+        # E[x^2] - mu^2 variance below cancels ~7 significant digits on
+        # near-constant windows; a low-precision conv (TPU convs default
+        # to bf16 accumulation) leaves variance errors ~1e-3, on the
+        # order of c2, which collapses the denominator (observed mean
+        # SSIM 1.073 and single-window ratios up to 201 on a 42 dB eval).
         x = jnp.transpose(x, (2, 0, 1))[:, None]  # [C,1,H,W]
         out = jax.lax.conv_general_dilated(
             x,
             jnp.transpose(kernel, (2, 3, 0, 1)),  # OIHW
             window_strides=(1, 1),
             padding="VALID",
+            precision=jax.lax.Precision.HIGHEST,
         )
         return jnp.transpose(out[:, 0], (1, 2, 0))
 
     mu0 = filt(img0)
     mu1 = filt(img1)
     mu00, mu11, mu01 = mu0 * mu0, mu1 * mu1, mu0 * mu1
-    s00 = filt(img0 * img0) - mu00
-    s11 = filt(img1 * img1) - mu11
+    # clamp the moment estimates to their mathematical ranges: variances
+    # are >= 0 and |covariance| <= sqrt(s00*s11) (Cauchy-Schwarz); the
+    # float32 estimates can violate both by ~1e-5 on flat windows
+    s00 = jnp.maximum(filt(img0 * img0) - mu00, 0.0)
+    s11 = jnp.maximum(filt(img1 * img1) - mu11, 0.0)
     s01 = filt(img0 * img1) - mu01
+    s01 = jnp.clip(s01, -jnp.sqrt(s00 * s11), jnp.sqrt(s00 * s11))
     c1 = (0.01 * max_val) ** 2
     c2 = (0.03 * max_val) ** 2
     num = (2 * mu01 + c1) * (2 * s01 + c2)

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from quadraturefields_tpu.ops.grid import (
     OccGridConfig,
@@ -151,14 +152,17 @@ def test_sampling_truncation_counts():
     assert np.asarray(ps.valid).sum() == 16  # truncated to budget
 
 
-def test_two_level_march_matches_single_level():
+@pytest.mark.parametrize("stride", [0, 8, 16])
+def test_two_level_march_matches_single_level(stride):
     """The coarse/fine march must produce the identical packed sample
     set as the single-level march (the dilated coarse mask is a strict
-    superset)."""
-    cfg = OccGridConfig(resolution=32)
+    superset), at the default probe stride (= coarse_factor) and at
+    decoupled strides several probe steps wide. Resolution 128 so the
+    rc >= 32 gate actually engages the two-level path."""
+    cfg = OccGridConfig(resolution=128)
     state = occ_grid_init(AABB, cfg)
     rng = np.random.default_rng(0)
-    b = rng.random((32, 32, 32)) < 0.08
+    b = rng.random((128, 128, 128)) < 0.01
     state = state._replace(binaries=jnp.asarray(b))
 
     n_rays = 16
@@ -168,16 +172,16 @@ def test_two_level_march_matches_single_level():
     kwargs = dict(
         render_step_size=0.02,
         max_steps=max_march_steps(np.asarray(AABB), 0.02),
-        max_samples_total=2048,
+        max_samples_total=4096,
     )
     a = occ_grid_sampling(state, jnp.asarray(o), jnp.asarray(d), **kwargs)
     c = occ_grid_sampling(
         state, jnp.asarray(o), jnp.asarray(d), coarse_factor=4,
-        max_coarse_hits=2048, **kwargs,
+        max_coarse_hits=4096, coarse_stride=stride, **kwargs,
     )
     assert int(a.num_valid) == int(c.num_valid)
     va, vc = np.asarray(a.valid), np.asarray(c.valid)
-    assert va.sum() == vc.sum()
+    assert va.sum() == vc.sum() > 0
     np.testing.assert_array_equal(
         np.asarray(a.ray_indices)[va], np.asarray(c.ray_indices)[vc]
     )

@@ -60,9 +60,16 @@ ngp_cfg = NGPConfig(
 step_size = 5e-3
 max_steps = max_march_steps(np.asarray(aabb), step_size)
 S = 1 << 18
+from quadraturefields_tpu.ops.grid import resolve_coarse_stride
+
+_stride_env = int(os.environ.get("QF_COARSE_STRIDE", "-1"))
+_stride, _dil = resolve_coarse_stride(
+    _stride_env, np.asarray(aabb), 128, 4, step_size
+)
 rcfg = RenderConfig(
     render_step_size=step_size, max_steps=max_steps,
     max_samples_total=S, coarse_factor=4,
+    coarse_stride=_stride, coarse_dilation=_dil,
 )
 key = jax.random.PRNGKey(0)
 params = ngp_init(key, ngp_cfg)
@@ -145,7 +152,8 @@ def full_step(params, opt_state, occ_state, o, d, pix, k):
 def march_only(occ_state, o, d):
     ps = occ_grid_sampling(
         occ_state, o, d, render_step_size=step_size, max_steps=max_steps,
-        max_samples_total=S, coarse_factor=4, max_coarse_hits=S,
+        max_samples_total=S, coarse_factor=4,
+        coarse_stride=_stride, coarse_dilation=_dil,
     )
     return ps.t_starts.sum()
 

@@ -155,3 +155,27 @@ timeit("fine: occ lookup (1.05M)", fine_occ, occ_state, pos_f)
 mask_f = np.zeros(budget * cf, bool)
 mask_f[rng.choice(mask_f.size, 262_144, replace=False)] = True
 timeit("fine compact (sort 1.05M keys)", fine_sort, jnp.asarray(mask_f))
+
+# strided coarse probe sweep: stride decoupled from cf — ~stride/cf x
+# fewer coarse gathers + a smaller coarse compaction, identical sample
+# set (grid.py _two_level_march docstring)
+import functools
+
+from quadraturefields_tpu.ops.grid import resolve_coarse_stride
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def strided_march(state, o, dirs, stride, dil):
+    ps = occ_grid_sampling(
+        state, o, dirs, render_step_size=step, max_steps=max_steps,
+        max_samples_total=budget, coarse_factor=4,
+        coarse_stride=stride, coarse_dilation=dil,
+    )
+    return (ps.ray_indices.sum(), ps.t_starts.sum(), ps.t_ends.sum(),
+            ps.num_valid)
+
+
+for s in (8, 16, 18, 24, 32):
+    dil = resolve_coarse_stride(s, np.asarray(aabb), 128, 4, step)[1]
+    timeit(f"full march, stride={s} dil={dil}", strided_march,
+           occ_state, o, dirs, s, dil)
