@@ -215,6 +215,7 @@ def make_dp_fit_sg_train_step(
     optimizer: optax.GradientTransformation,
     render_step_size: float,
     axis: str = "data",
+    pack_cap: int = 0,  # per-shard packed-hit budget; 0 = dense rows
 ):
     """Stage-5 (SG fit at mesh hits) DP step. All inputs are per-ray
     rows ([R] / [R,H]), so every chip composites its own shard with the
@@ -226,14 +227,16 @@ def make_dp_fit_sg_train_step(
     (sg_params, opt_state, loss, n_hits_total).
     """
     from ..models.ngp import ngp_forward
-    from ..render.quadrature import HitRows, render_fit_sg_rows
+    from ..render.quadrature import (
+        HitRows,
+        render_fit_sg_packed,
+        render_fit_sg_rows,
+    )
 
     def local_loss(sg_params, teacher_params, origins, viewdirs, pixels,
                    bkgd, tri_ids, ts, valid):
         hits = HitRows(tri_ids=tri_ids, ts=ts, valid=valid)
-        rgb, _, _, _ = render_fit_sg_rows(
-            sg_params, teacher_params, hits, origins, viewdirs,
-            aabb, sg_cfg, teacher_cfg,
+        kwargs = dict(
             ngp_forward_fn=lambda p, x, d, a, c: (
                 lambda r: (r[0], r[1][..., 0])
             )(ngp_forward(p, x, d, a, c)),
@@ -241,7 +244,23 @@ def make_dp_fit_sg_train_step(
             bg_color="random",
             render_bkgd=bkgd,
         )
-        return smooth_l1_loss(rgb, pixels), jnp.sum(valid)
+        # per-shard masked mean; pmean across shards is exact when no
+        # shard truncates (the designed regime) and a benign
+        # equal-shard-weight approximation otherwise
+        ray_mask = None
+        if pack_cap > 0:
+            out = render_fit_sg_packed(
+                sg_params, teacher_params, hits, origins, viewdirs,
+                aabb, sg_cfg, teacher_cfg, pack_cap=pack_cap, **kwargs,
+            )
+            rgb, ray_mask = out[0], out[5]
+        else:
+            rgb = render_fit_sg_rows(
+                sg_params, teacher_params, hits, origins, viewdirs,
+                aabb, sg_cfg, teacher_cfg, **kwargs,
+            )[0]
+        return smooth_l1_loss(rgb, pixels, ray_mask=ray_mask), \
+            jnp.sum(valid)
 
     @functools.partial(
         shard_map,
@@ -291,6 +310,7 @@ def make_dp_finetune_train_step(
     freeze_rf: bool = False,
     axis: str = "data",
     stratified: bool = True,
+    pack_cap: int = 0,  # per-shard packed-hit budget; 0 = dense rows
 ):
     """Stage-4 (joint finetune) DP step: per-shard quadrature render at
     mesh hits + volumetric render, pmean'd dual loss; the per-face
@@ -308,6 +328,7 @@ def make_dp_finetune_train_step(
     from ..render.quadrature import (
         HitRows,
         mesh_accumulate_deformation,
+        render_finetune_packed,
         render_finetune_rows,
     )
 
@@ -322,9 +343,7 @@ def make_dp_finetune_train_step(
     def local_loss(params, occ_state, origins, viewdirs, pixels, bkgd,
                    tri_ids, ts, valid, face_vertices, bary_u, key):
         hits = HitRows(tri_ids=tri_ids, ts=ts, valid=valid)
-        out = render_finetune_rows(
-            params["rf"], params["field"], hits, origins, viewdirs,
-            face_vertices, aabb, ngp_cfg, field_cfg,
+        render_kwargs = dict(
             ngp_forward_fn=lambda p, x, d, a, c: (
                 lambda r: (r[0], r[1][..., 0])
             )(ngp_forward(p, x, d, a, c)),
@@ -337,6 +356,18 @@ def make_dp_finetune_train_step(
             bary_uniforms=bary_u,
             stop_gradient_rf=freeze_rf,
         )
+        if pack_cap > 0:
+            out = render_finetune_packed(
+                params["rf"], params["field"], hits, origins, viewdirs,
+                face_vertices, aabb, ngp_cfg, field_cfg,
+                pack_cap=pack_cap, **render_kwargs,
+            )
+        else:
+            out = render_finetune_rows(
+                params["rf"], params["field"], hits, origins, viewdirs,
+                face_vertices, aabb, ngp_cfg, field_cfg,
+                **render_kwargs,
+            )
         rf_params = (
             jax.tree_util.tree_map(jax.lax.stop_gradient, params["rf"])
             if freeze_rf else params["rf"]
@@ -346,7 +377,8 @@ def make_dp_finetune_train_step(
             local_rcfg, render_bkgd=bkgd, stratified=stratified, key=key,
         )
         loss = (
-            smooth_l1_loss(out["rgb"], pixels)
+            smooth_l1_loss(out["rgb"], pixels,
+                           ray_mask=out.get("ray_mask"))
             + smooth_l1_loss(vol.rgb, pixels)
         ) / 2.0 + out["reg"]
         aux = {k: out[k] for k in

@@ -281,6 +281,267 @@ def render_finetune_baking_rows(
     )
 
 
+class PackedHits(NamedTuple):
+    """Valid mesh hits compacted to a flat ray-sorted stream.
+
+    The dense [R, max_hits] rows are the host transport layout (the BVH
+    fills them); the device QUERY layout is this packed stream — the
+    hash-grid/MLP work then scales with ACTUAL hits instead of
+    R*max_hits slots (at the reference contract of max_hits=25 and the
+    ~2-4 real hits/ray of a trained mesh that is a ~10x cut, and it is
+    what lets the stage-4 prod step fit HBM). Same move the baked
+    renderer made (render/baked.py pack_hits_uv, PERF_NOTES round 3).
+    Stream order is (ray, original depth) because flat [R*H] indices are
+    compacted in order and the BVH emits depth-sorted rows.
+    """
+    ray_indices: jnp.ndarray  # [M] int32, non-decreasing; pad = n_rays
+    slots: jnp.ndarray        # [M] int32 flat index into [R*H]; pad R*H
+    tri_ids: jnp.ndarray      # [M] int32, -1 pad
+    ts: jnp.ndarray           # [M] f32, 0 pad
+    valid: jnp.ndarray        # [M] bool
+    num_valid: jnp.ndarray    # [] int32 TRUE hit count (may exceed M)
+
+
+def pack_hit_rows(hits: HitRows, cap: int) -> PackedHits:
+    """Compact the valid entries of dense hit rows into a [cap] stream
+    (ONE lax.sort of iota-where-valid keys, the compact_indices pattern
+    from ops/grid.py). If more than `cap` hits are valid the stream
+    truncates (highest ray indices lose hits first) — same convention
+    as the march's max_samples_total budget; num_valid reports the true
+    demand so trainers can resize the ray batch."""
+    R, H = hits.ts.shape
+    n = R * H
+    flat_valid = hits.valid.reshape(-1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    keys = jnp.where(flat_valid, iota, jnp.int32(n))
+    slots = jax.lax.sort(keys)[:cap]
+    if n < cap:
+        slots = jnp.pad(slots, (0, cap - n), constant_values=n)
+    valid = slots < n
+    s = jnp.clip(slots, 0, n - 1)
+    ray_indices = jnp.where(valid, s // H, jnp.int32(R))
+    tri_ids = jnp.where(valid, hits.tri_ids.reshape(-1)[s], -1)
+    ts = jnp.where(valid, hits.ts.reshape(-1)[s], 0.0)
+    return PackedHits(
+        ray_indices=ray_indices, slots=slots, tri_ids=tri_ids, ts=ts,
+        valid=valid, num_valid=jnp.sum(flat_valid, dtype=jnp.int32),
+    )
+
+
+def packed_ray_mask(ph: PackedHits, n_rays: int, cap: int):
+    """[n_rays] bool: rays whose hits were fully packed. When the cap
+    truncates (num_valid > cap), every ray at or after the one holding
+    the cap-th hit is masked out — those rays rendered without some of
+    their hits, and a loss over them would push the model toward the
+    background color. All-true when nothing truncates (the common case:
+    the dynamic ray batcher holds true hits near target < cap)."""
+    truncated = ph.num_valid > cap
+    last_ray = ph.ray_indices[cap - 1]
+    bound = jnp.where(truncated, last_ray, jnp.int32(n_rays))
+    return jax.lax.broadcasted_iota(jnp.int32, (n_rays,), 0) < bound
+
+
+def packed_composite(
+    ray_indices,   # [M] int32 sorted, pad = n_rays
+    rgbs,          # [M, 3]
+    sigmas,        # [M]
+    ts,            # [M] depth values
+    valid,         # [M]
+    n_rays: int,
+    render_step_size: float,
+    bg_color: str = "white",
+    render_bkgd=None,
+):
+    """row_composite on a packed stream: segmented-scan transmittance +
+    ONE presorted windowed-MXU segment sum for color/alpha/depth
+    (differentiable; same kernel as the stage-1/baked composites).
+    Bit-matches row_composite on the packed image of the same rows."""
+    from ..ops import scan
+    from ..ops.hashgrid_sorted import presorted_row_segment_sum_vjp
+
+    tau = jnp.where(valid, sigmas * render_step_size, 0.0)
+    boundaries = scan.mark_pack_boundaries(ray_indices)
+    exc = scan.exclusive_sum(tau, boundaries)
+    weights = jnp.where(valid, jnp.exp(-exc) * (1.0 - jnp.exp(-tau)), 0.0)
+
+    w = weights[:, None]
+    vals8 = jnp.concatenate(
+        [w * rgbs, w, w * ts[:, None],
+         jnp.zeros((weights.shape[0], 3), jnp.float32)],
+        axis=1,
+    )
+    acc = presorted_row_segment_sum_vjp(
+        ray_indices.astype(jnp.int32), vals8, n_rays
+    )
+    color = acc[:, 0:3]
+    alpha = acc[:, 3:4]
+    depth = acc[:, 4:5] / jnp.clip(alpha, min=1e-10)
+    if bg_color == "white":
+        rgb = (1.0 - alpha) + color
+    elif bg_color == "black":
+        rgb = color
+    else:
+        rgb = color + (1.0 - alpha) * render_bkgd
+    return rgb, alpha, depth, weights
+
+
+def render_finetune_packed(
+    ngp_params,
+    field_params,
+    hits: HitRows,
+    origins,            # [R, 3]
+    viewdirs,           # [R, 3]
+    face_vertices,      # [R, H, 3, 3] world verts of hit triangles
+    aabb,
+    ngp_cfg,
+    field_cfg,
+    *,
+    ngp_forward_fn,
+    field_apply_fn,
+    scaling: float,
+    render_step_size: float,
+    pack_cap: int,
+    bg_color: str = "white",
+    render_bkgd=None,
+    key=None,
+    bary_uniforms=None,  # [R, H, 3] overrides the key draw (DP path)
+    stop_gradient_rf: bool = False,
+):
+    """render_finetune_rows on the packed stream: the two deformation-
+    field queries and the radiance-field query run over `pack_cap`
+    actual hits instead of R*max_hits slots. Numerics match the dense
+    path whenever nothing is truncated (tests/test_quadrature.py);
+    the post-deformation re-sort is one (ray, t) two-key lax.sort of
+    the [M] stream (replacing both the per-row argsort here and the
+    reference's host lexsort, mesh_utils.py:395)."""
+    R, H = hits.ts.shape
+    cap = min(int(pack_cap), R * H)
+    ph = pack_hit_rows(hits, cap)
+    M = ph.ts.shape[0]
+    ray = jnp.clip(ph.ray_indices, 0, R - 1)
+    s = jnp.clip(ph.slots, 0, R * H - 1)
+    d = viewdirs[ray]                              # [M, 3]
+    xyzs = origins[ray] + d * ph.ts[:, None]
+
+    # deformation at hit points (scalar field broadcast over xyz:
+    # reference utils.py:557-571 with output_dim 1)
+    del_scalar = field_apply_fn(field_params, xyzs, field_cfg)[:, 0]
+    del_vector = jnp.tanh(del_scalar) * scaling            # [M]
+    del_delta = del_vector * jnp.sum(d, axis=-1)           # [M]
+
+    # deformation at random barycentric vertex samples; uniforms drawn
+    # at the DENSE [R, H, 3] shape then gathered so packed == dense
+    # draw-for-draw (and the DP path can pass global-shape uniforms)
+    if bary_uniforms is None:
+        bary_uniforms = jax.random.uniform(key, (R, H, 3))
+    u = bary_uniforms.reshape(R * H, 3)[s]                 # [M, 3]
+    fv = face_vertices.reshape(R * H, 3, 3)[s]             # [M, 3, 3]
+    v_samples = jnp.sum(fv * u[..., None], axis=-2) / (
+        jnp.sum(u[..., None], axis=-2) + 1e-6
+    )
+    del_scalar_v = field_apply_fn(field_params, v_samples, field_cfg)[:, 0]
+    del_vector_v = jnp.tanh(del_scalar_v) * scaling        # [M]
+
+    dh = del_delta[:, None] * d                            # [M, 3]
+    xyzs = xyzs + dh
+    ts = ph.ts + del_delta
+
+    # re-sort within each ray segment by deformed depth: one stable
+    # (ray, t) two-key sort of the stream; pad rows (ray == R, t = inf)
+    # stay at the tail
+    tkey = jnp.where(ph.valid, ts, jnp.float32(jnp.inf))
+    perm = jax.lax.sort(
+        (ph.ray_indices, tkey,
+         jax.lax.broadcasted_iota(jnp.int32, (M,), 0)),
+        num_keys=2,
+    )[2]
+    ts_s = ts[perm]
+    xyzs_s = xyzs[perm]
+    d_s = d[perm]
+    dh_s = dh[perm]
+    tri_ids_s = ph.tri_ids[perm]
+    valid_s = ph.valid[perm]
+
+    rgbs, sigmas = ngp_forward_fn(ngp_params, xyzs_s, d_s, aabb, ngp_cfg)
+    if stop_gradient_rf:
+        rgbs = jax.lax.stop_gradient(rgbs)
+        sigmas = jax.lax.stop_gradient(sigmas)
+
+    rgb, alpha, depth, weights = packed_composite(
+        ph.ray_indices, rgbs, sigmas, ts_s, valid_s, R,
+        render_step_size, bg_color, render_bkgd,
+    )
+
+    # deformation regularizer over rendered hits (reference
+    # utils.py:583; equals the dense-path masked mean when nothing is
+    # truncated — the scalar field repeats over 3 channels, so the
+    # 3-channel mean reduces to the scalar mean)
+    nvalid = jnp.clip(
+        jnp.sum(ph.valid.astype(jnp.float32)), min=1.0
+    )
+    vmask = ph.valid.astype(jnp.float32)
+    reg = (
+        jnp.sum(vmask * del_vector**2) / nvalid
+        + jnp.sum(
+            vmask
+            * (del_vector_v - jax.lax.stop_gradient(del_vector)) ** 2
+        ) / nvalid
+    )
+
+    return {
+        "rgb": rgb,
+        "alpha": alpha,
+        "depth": depth,
+        "weights": weights,       # [M] packed, sorted order
+        "tri_ids": tri_ids_s,     # [M] packed, sorted order
+        "valid": valid_s,         # [M]
+        "dh": dh_s,               # [M, 3]
+        "reg": reg,
+        "n_hits": ph.num_valid,   # TRUE demand (drives batch resize)
+        "n_rendered": jnp.sum(ph.valid, dtype=jnp.int32),
+        "ray_mask": packed_ray_mask(ph, R, cap),
+    }
+
+
+def render_fit_sg_packed(
+    sg_params,
+    teacher_params,
+    hits: HitRows,
+    origins,
+    viewdirs,
+    aabb,
+    sg_cfg,
+    teacher_cfg,
+    *,
+    ngp_forward_fn,
+    render_step_size: float,
+    pack_cap: int,
+    bg_color: str = "white",
+    render_bkgd=None,
+):
+    """render_fit_sg_rows on the packed stream (stage-5: SG rgb at
+    hits, frozen teacher density). Returns (rgb, alpha, depth, weights,
+    packed_hits, ray_mask) — ray_mask excludes truncated rays from the
+    loss (packed_ray_mask)."""
+    R, H = hits.ts.shape
+    cap = min(int(pack_cap), R * H)
+    ph = pack_hit_rows(hits, cap)
+    ray = jnp.clip(ph.ray_indices, 0, R - 1)
+    d = viewdirs[ray]
+    xyzs = origins[ray] + d * ph.ts[:, None]
+
+    rgbs, _ = ngp_forward_fn(sg_params, xyzs, d, aabb, sg_cfg)
+    _, sigmas = ngp_forward_fn(
+        jax.lax.stop_gradient(teacher_params), xyzs, d, aabb, teacher_cfg
+    )
+    sigmas = jax.lax.stop_gradient(sigmas)
+    rgb, alpha, depth, weights = packed_composite(
+        ph.ray_indices, rgbs, sigmas, ph.ts, ph.valid, R,
+        render_step_size, bg_color, render_bkgd,
+    )
+    return rgb, alpha, depth, weights, ph, packed_ray_mask(ph, R, cap)
+
+
 def mesh_accumulate_deformation(cache_d, cache_w, dh, weights, tri_ids,
                                 valid, n_faces: int):
     """MeshFinetune.update_d: scatter-add per-face dh*w and w

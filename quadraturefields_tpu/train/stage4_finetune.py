@@ -43,6 +43,7 @@ from ..render.quadrature import (
     HitRows,
     mesh_accumulate_deformation,
     mesh_update_vertices,
+    render_finetune_packed,
     render_finetune_rows,
 )
 from ..render.renderer import RenderConfig, render_rays_occgrid
@@ -93,6 +94,10 @@ class Stage4Config:
     # sparse fixture scenes), target/nh explodes; unbounded growth OOMs
     # the deformation-field backward graph
     max_num_rays: int = 1 << 18
+    # packed-hit query stream: device work scales with ACTUAL hits
+    # (pack_slack x the sample target) instead of R*max_hits slots;
+    # 0 disables (dense row path, kept for parity tests)
+    pack_slack: float = 1.25
     # deformation-field capacity knobs (reference values: 24 / 512,
     # train_finetune.py:387-399)
     field_log2_hashmap_size: int = 24
@@ -113,6 +118,14 @@ class Stage4Config:
     @property
     def target_sample_batch_size(self) -> int:
         return 1 << self.batch_size_log2
+
+    @property
+    def pack_cap(self) -> int:
+        """Static packed-hit budget: slack x the sample target, rounded
+        up to 1024 (the dynamic batcher holds true hits near the target,
+        so the slack absorbs per-step jitter)."""
+        cap = int(self.pack_slack * self.target_sample_batch_size)
+        return -(-cap // 1024) * 1024
 
     @property
     def aabb(self) -> np.ndarray:
@@ -329,16 +342,7 @@ class Stage4Trainer:
     ):
         cfg = self.cfg
         hits = HitRows(tri_ids=tri_ids, ts=ts, valid=valid)
-        out = render_finetune_rows(
-            params["rf"],
-            params["field"],
-            hits,
-            origins,
-            viewdirs,
-            face_vertices,
-            self.aabb,
-            self.ngp_cfg,
-            self.field_cfg,
+        render_kwargs = dict(
             ngp_forward_fn=lambda p, x, d, a, c: (
                 lambda r: (r[0], r[1][..., 0])
             )(ngp_forward(p, x, d, a, c)),
@@ -350,6 +354,18 @@ class Stage4Trainer:
             key=key,
             stop_gradient_rf=freeze_rf,
         )
+        if cfg.pack_slack > 0:
+            out = render_finetune_packed(
+                params["rf"], params["field"], hits, origins, viewdirs,
+                face_vertices, self.aabb, self.ngp_cfg, self.field_cfg,
+                pack_cap=cfg.pack_cap, **render_kwargs,
+            )
+        else:
+            out = render_finetune_rows(
+                params["rf"], params["field"], hits, origins, viewdirs,
+                face_vertices, self.aabb, self.ngp_cfg, self.field_cfg,
+                **render_kwargs,
+            )
         rf_params = (
             jax.tree_util.tree_map(jax.lax.stop_gradient, params["rf"])
             if freeze_rf else params["rf"]
@@ -359,7 +375,12 @@ class Stage4Trainer:
             origins, viewdirs, self.rcfg, render_bkgd=bkgd,
             stratified=True, key=key,
         )
-        rgb_discrete = smooth_l1_loss(out["rgb"], pixels)
+        # quad term: exclude cap-truncated rays (packed_ray_mask) —
+        # their composite is missing hits; the volumetric twin is
+        # per-ray complete and stays unmasked
+        rgb_discrete = smooth_l1_loss(
+            out["rgb"], pixels, ray_mask=out.get("ray_mask")
+        )
         rgb_smooth = smooth_l1_loss(vol.rgb, pixels)
         loss = (rgb_discrete + rgb_smooth) / 2.0 + out["reg"]
         aux = {

@@ -28,7 +28,11 @@ from ..ops.grid import (
     occ_grid_update,
     max_march_steps,
 )
-from ..render.quadrature import HitRows, render_fit_sg_rows
+from ..render.quadrature import (
+    HitRows,
+    render_fit_sg_packed,
+    render_fit_sg_rows,
+)
 from ..utils.batching import bucket_num_rays
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.metrics import psnr, smooth_l1_loss, ssim
@@ -66,6 +70,8 @@ class Stage5Config:
     log_every: int = 100
     seed: int = 42
     max_num_rays: int = 1 << 18
+    # packed-hit query stream (see Stage4Config.pack_slack); 0 = dense
+    pack_slack: float = 1.25
     eval_views: Optional[int] = None
     # unbounded/360: "auto" switches on MIPNERF360_UNBOUNDED_SCENES
     # (reference train_fit_sg.py:233-260); "360"/"synthetic" force it
@@ -83,6 +89,12 @@ class Stage5Config:
     @property
     def target_sample_batch_size(self) -> int:
         return 1 << self.batch_size_log2
+
+    @property
+    def pack_cap(self) -> int:
+        """Static packed-hit budget (see Stage4Config.pack_cap)."""
+        cap = int(self.pack_slack * self.target_sample_batch_size)
+        return -(-cap // 1024) * 1024
 
     @property
     def aabb(self) -> np.ndarray:
@@ -235,9 +247,7 @@ class Stage5Trainer:
     def _loss_fn(self, sg_params, origins, viewdirs, pixels, bkgd,
                  tri_ids, ts, valid):
         hits = HitRows(tri_ids=tri_ids, ts=ts, valid=valid)
-        rgb, alpha, depth, _ = render_fit_sg_rows(
-            sg_params, self.teacher_params, hits, origins, viewdirs,
-            self.aabb, self.sg_cfg, self.teacher_cfg,
+        kwargs = dict(
             ngp_forward_fn=lambda p, x, d, a, c: (
                 lambda r: (r[0], r[1][..., 0])
             )(ngp_forward(p, x, d, a, c)),
@@ -245,7 +255,19 @@ class Stage5Trainer:
             bg_color="random",
             render_bkgd=bkgd,
         )
-        loss = smooth_l1_loss(rgb, pixels)
+        ray_mask = None
+        if self.cfg.pack_slack > 0:
+            rgb, alpha, depth, _, _, ray_mask = render_fit_sg_packed(
+                sg_params, self.teacher_params, hits, origins, viewdirs,
+                self.aabb, self.sg_cfg, self.teacher_cfg,
+                pack_cap=self.cfg.pack_cap, **kwargs,
+            )
+        else:
+            rgb, alpha, depth, _ = render_fit_sg_rows(
+                sg_params, self.teacher_params, hits, origins, viewdirs,
+                self.aabb, self.sg_cfg, self.teacher_cfg, **kwargs,
+            )
+        loss = smooth_l1_loss(rgb, pixels, ray_mask=ray_mask)
         return loss, (rgb, jnp.sum(valid))
 
     def _train_step_impl(self, sg_params, opt_state, origins, viewdirs,

@@ -22,10 +22,17 @@ def psnr(a, b):
     return -10.0 * jnp.log(mse(a, b)) / jnp.log(10.0)
 
 
-def smooth_l1_loss(pred, target, beta: float = 1.0):
+def smooth_l1_loss(pred, target, beta: float = 1.0, ray_mask=None):
+    """Mean smooth-L1; `ray_mask` ([N] bool over the leading axis)
+    restricts the mean to unmasked rows (used by the packed quadrature
+    renderers to drop cap-truncated rays from the loss)."""
     d = jnp.abs(pred - target)
     loss = jnp.where(d < beta, 0.5 * d**2 / beta, d - 0.5 * beta)
-    return jnp.mean(loss)
+    if ray_mask is None:
+        return jnp.mean(loss)
+    m = ray_mask.astype(loss.dtype)
+    per_row = jnp.mean(loss, axis=tuple(range(1, loss.ndim)))
+    return jnp.sum(per_row * m) / jnp.clip(jnp.sum(m), min=1.0)
 
 
 def _gaussian_kernel(size=11, sigma=1.5):

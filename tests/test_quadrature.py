@@ -113,3 +113,257 @@ def test_padding_rows_are_noops():
         rgbs, sigmas, ts, deltas, valid_all, bg_color="white"
     )
     assert np.asarray(alpha2).min() > 0.5
+
+
+def _dummy_field_apply(params, x, cfg):
+    # smooth deterministic scalar "field": sin of a projection
+    return jnp.sin(x @ params["w"])[:, None] * 0.5
+
+
+def _dummy_ngp_forward(params, x, d, aabb, cfg):
+    rgb = jax.nn.sigmoid(x @ params["c"])
+    sigma = jax.nn.softplus((x * d).sum(-1) * 3.0 + params["b"])
+    return rgb, sigma
+
+
+def _finetune_inputs(R=7, H=5, seed=0, hit_p=0.6):
+    rng = np.random.default_rng(seed)
+    origins = rng.normal(0, 0.1, (R, 3)).astype(np.float32)
+    viewdirs = rng.normal(size=(R, 3)).astype(np.float32)
+    viewdirs /= np.linalg.norm(viewdirs, axis=1, keepdims=True)
+    ts = np.sort(rng.uniform(0.5, 2.5, (R, H)), axis=1).astype(np.float32)
+    valid = rng.random((R, H)) < hit_p
+    valid = np.logical_and(
+        valid, np.cumsum(~valid, axis=1) == 0
+    )  # BVH contract: valid hits are a row prefix
+    tri_ids = np.where(valid, rng.integers(0, 11, (R, H)), -1).astype(
+        np.int32
+    )
+    fv = rng.normal(0, 0.3, (R, H, 3, 3)).astype(np.float32)
+    bary = rng.random((R, H, 3)).astype(np.float32)
+    return origins, viewdirs, ts, valid, tri_ids, fv, bary
+
+
+def test_render_finetune_packed_matches_dense():
+    """With a cap that truncates nothing, the packed path must match
+    the dense row path (rgb/alpha/depth/reg and the per-face
+    deformation accumulation) to fp32 scan tolerance."""
+    from quadraturefields_tpu.render.quadrature import (
+        render_finetune_packed,
+        render_finetune_rows,
+    )
+
+    origins, viewdirs, ts, valid, tri_ids, fv, bary = _finetune_inputs()
+    R, H = ts.shape
+    field_params = {"w": jnp.asarray([1.3, -0.7, 2.1])}
+    ngp_params = {
+        "c": jnp.asarray(np.random.default_rng(1).normal(size=(3, 3)),
+                         jnp.float32),
+        "b": jnp.float32(0.2),
+    }
+    hits = HitRows(
+        tri_ids=jnp.asarray(tri_ids), ts=jnp.asarray(ts),
+        valid=jnp.asarray(valid),
+    )
+    kwargs = dict(
+        ngp_forward_fn=_dummy_ngp_forward,
+        field_apply_fn=_dummy_field_apply,
+        scaling=0.0434,
+        render_step_size=0.005,
+        bg_color="white",
+        bary_uniforms=jnp.asarray(bary),
+    )
+    dense = render_finetune_rows(
+        ngp_params, field_params, hits, jnp.asarray(origins),
+        jnp.asarray(viewdirs), jnp.asarray(fv), None, None, None,
+        **kwargs,
+    )
+    packed = render_finetune_packed(
+        ngp_params, field_params, hits, jnp.asarray(origins),
+        jnp.asarray(viewdirs), jnp.asarray(fv), None, None, None,
+        pack_cap=R * H, **kwargs,
+    )
+    for k in ("rgb", "alpha", "depth"):
+        np.testing.assert_allclose(
+            np.asarray(packed[k]), np.asarray(dense[k]),
+            rtol=1e-4, atol=1e-5, err_msg=k,
+        )
+    np.testing.assert_allclose(
+        float(packed["reg"]), float(dense["reg"]), rtol=1e-5
+    )
+    assert int(packed["n_hits"]) == int(dense["n_hits"])
+
+    # per-face deformation accumulation identical through either layout
+    n_faces = 11
+    zero_d = jnp.zeros((n_faces, 3))
+    zero_w = jnp.zeros((n_faces,))
+    d_dense, w_dense = mesh_accumulate_deformation(
+        zero_d, zero_w, dense["dh"], dense["weights"], dense["tri_ids"],
+        dense["valid"], n_faces,
+    )
+    d_packed, w_packed = mesh_accumulate_deformation(
+        zero_d, zero_w, packed["dh"], packed["weights"],
+        packed["tri_ids"], packed["valid"], n_faces,
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_packed), np.asarray(d_dense), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(w_packed), np.asarray(w_dense), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_render_finetune_packed_gradients_match_dense():
+    from quadraturefields_tpu.render.quadrature import (
+        render_finetune_packed,
+        render_finetune_rows,
+    )
+
+    origins, viewdirs, ts, valid, tri_ids, fv, bary = _finetune_inputs(
+        seed=3
+    )
+    R, H = ts.shape
+    hits = HitRows(
+        tri_ids=jnp.asarray(tri_ids), ts=jnp.asarray(ts),
+        valid=jnp.asarray(valid),
+    )
+    kwargs = dict(
+        ngp_forward_fn=_dummy_ngp_forward,
+        field_apply_fn=_dummy_field_apply,
+        scaling=0.0434,
+        render_step_size=0.005,
+        bg_color="white",
+        bary_uniforms=jnp.asarray(bary),
+    )
+    pixels = jnp.asarray(
+        np.random.default_rng(4).random((R, 3)), jnp.float32
+    )
+
+    def loss(params, fn, extra):
+        out = fn(
+            params["ngp"], params["field"], hits, jnp.asarray(origins),
+            jnp.asarray(viewdirs), jnp.asarray(fv), None, None, None,
+            **extra, **kwargs,
+        )
+        return jnp.mean((out["rgb"] - pixels) ** 2) + out["reg"]
+
+    params = {
+        "ngp": {
+            "c": jnp.asarray(
+                np.random.default_rng(1).normal(size=(3, 3)), jnp.float32
+            ),
+            "b": jnp.float32(0.2),
+        },
+        "field": {"w": jnp.asarray([1.3, -0.7, 2.1])},
+    }
+    g_dense = jax.grad(loss)(params, render_finetune_rows, {})
+    g_packed = jax.grad(loss)(
+        params, render_finetune_packed, {"pack_cap": R * H}
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        ),
+        g_packed, g_dense,
+    )
+
+
+def test_render_fit_sg_packed_matches_dense():
+    from quadraturefields_tpu.render.quadrature import (
+        render_fit_sg_packed,
+        render_fit_sg_rows,
+    )
+
+    origins, viewdirs, ts, valid, tri_ids, _, _ = _finetune_inputs(seed=5)
+    R, H = ts.shape
+    hits = HitRows(
+        tri_ids=jnp.asarray(tri_ids), ts=jnp.asarray(ts),
+        valid=jnp.asarray(valid),
+    )
+    sg_params = {
+        "c": jnp.asarray(np.random.default_rng(6).normal(size=(3, 3)),
+                         jnp.float32),
+        "b": jnp.float32(-0.1),
+    }
+    teacher = {
+        "c": jnp.asarray(np.random.default_rng(7).normal(size=(3, 3)),
+                         jnp.float32),
+        "b": jnp.float32(0.4),
+    }
+    kwargs = dict(
+        ngp_forward_fn=_dummy_ngp_forward,
+        render_step_size=0.005,
+        bg_color="random",
+        render_bkgd=jnp.asarray([0.2, 0.5, 0.8]),
+    )
+    rgb_d, alpha_d, depth_d, _ = render_fit_sg_rows(
+        sg_params, teacher, hits, jnp.asarray(origins),
+        jnp.asarray(viewdirs), None, None, None, **kwargs,
+    )
+    rgb_p, alpha_p, depth_p, _, ph, ray_mask = render_fit_sg_packed(
+        sg_params, teacher, hits, jnp.asarray(origins),
+        jnp.asarray(viewdirs), None, None, None, pack_cap=R * H,
+        **kwargs,
+    )
+    np.testing.assert_allclose(
+        np.asarray(rgb_p), np.asarray(rgb_d), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(alpha_p), np.asarray(alpha_d), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(depth_p), np.asarray(depth_d), rtol=1e-4, atol=1e-5
+    )
+    assert int(ph.num_valid) == int(valid.sum())
+    assert bool(ray_mask.all())  # nothing truncated -> no masked rays
+
+
+def test_packed_ray_mask_on_truncation():
+    """When the cap truncates, rays at/after the boundary must be
+    excluded from the loss mask (they rendered without hits)."""
+    from quadraturefields_tpu.render.quadrature import (
+        pack_hit_rows,
+        packed_ray_mask,
+    )
+
+    R, H = 4, 3
+    valid = np.ones((R, H), bool)
+    hits = HitRows(
+        tri_ids=jnp.zeros((R, H), jnp.int32),
+        ts=jnp.asarray(
+            np.tile(np.arange(1, H + 1, dtype=np.float32), (R, 1))
+        ),
+        valid=jnp.asarray(valid),
+    )
+    cap = 7  # cap-th hit (index 6) lands in ray 2 -> rays 2,3 masked
+    ph = pack_hit_rows(hits, cap)
+    mask = np.asarray(packed_ray_mask(ph, R, cap))
+    np.testing.assert_array_equal(mask, [True, True, False, False])
+
+    ph_full = pack_hit_rows(hits, R * H)
+    mask_full = np.asarray(packed_ray_mask(ph_full, R, R * H))
+    assert mask_full.all()
+
+
+def test_pack_hit_rows_truncation():
+    """Overflowing cap keeps the first hits (ray-major order) and still
+    reports the true demand in num_valid."""
+    from quadraturefields_tpu.render.quadrature import pack_hit_rows
+
+    R, H = 4, 3
+    valid = np.ones((R, H), bool)
+    ts = np.tile(np.arange(1, H + 1, dtype=np.float32), (R, 1))
+    tri = np.arange(R * H, dtype=np.int32).reshape(R, H)
+    hits = HitRows(
+        tri_ids=jnp.asarray(tri), ts=jnp.asarray(ts),
+        valid=jnp.asarray(valid),
+    )
+    ph = pack_hit_rows(hits, cap=7)
+    assert int(ph.num_valid) == R * H
+    assert int(ph.valid.sum()) == 7
+    np.testing.assert_array_equal(
+        np.asarray(ph.tri_ids), np.arange(7, dtype=np.int32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ph.ray_indices), np.asarray([0, 0, 0, 1, 1, 1, 2])
+    )
