@@ -39,6 +39,10 @@ def build_parser():
     p.add_argument("--grad_payload", type=str, default="f32",
                    choices=["f32", "bf16pair", "bf16sim"],
                    help="cell table-gradient precision (hashgrid.py)")
+    p.add_argument("--pack_slack", type=float, default=1.25,
+                   help="packed-hit stream budget as a multiple of the "
+                        "sample target; 0 = dense rows "
+                        "(render/quadrature.py)")
     return p
 
 
@@ -50,6 +54,7 @@ def main(argv=None):
         grad_mode=args.grad_mode,
         layout=args.layout,
         grad_payload=args.grad_payload,
+        pack_slack=args.pack_slack,
         scene=args.scene,
         data_root=args.data_root,
         exp_name=args.exp_name,
