@@ -380,19 +380,16 @@ def sorted_pair_grad(idx, lo, hi, total_entries: int, *,
         keys_q,
         svals.reshape(mm // spr, LANES),
     )
-    even = even.reshape(-1)[: total_entries * pw].reshape(
-        total_entries, pw
-    )
-    odd = odd.reshape(-1)[: total_entries * pw].reshape(
-        total_entries, pw
-    )
-    # interleave feature planes back to row[c*2 + f] in 2D ops
-    even_r = jnp.repeat(even, 2, axis=1)           # lane l <- l // 2
-    odd_r = jnp.repeat(odd, 2, axis=1)
-    lane = jax.lax.broadcasted_iota(
-        jnp.int32, (total_entries, 2 * pw), 1
-    )
-    return jnp.where(lane % 2 == 0, even_r, odd_r)
+    # interleave feature planes back to row[c*2 + f]: planar strided
+    # columns stacked [2pw, E] then transposed — avoids the row-major
+    # [E, pw] reshape temp (see _deinterleave_rows)
+    ev_flat = even.reshape(-1)[: total_entries * pw]
+    od_flat = odd.reshape(-1)[: total_entries * pw]
+    cols = []
+    for j in range(pw):
+        cols.append(ev_flat[j::pw])
+        cols.append(od_flat[j::pw])
+    return jnp.stack(cols, axis=0).T
 
 
 def sorted_row_grad(idx, vals, total_entries: int, *,
@@ -499,6 +496,23 @@ def presorted_row_segment_sum(keys, vals, n_segments: int, *,
     return out[:n_segments]
 
 
+def _deinterleave_rows(out, total_entries: int, rw: int):
+    """[rows_pad, LANES] kernel output (entries interleaved rw-wide) ->
+    [total_entries, rw] WITHOUT a row-major [E, rw] reshape temp.
+
+    XLA lays `flat.reshape(E, rw)` temps out as {1,0:T(8,128)} — the rw
+    lanes pad to 128 (64x at rw=2), which at the stage-4 production
+    field size (18.5M entries) is an 8.81G HLO temp that OOM'd the
+    step compile (prod_pipe log 2026-08-18; /tmp/probe_layout.py:
+    current=OOM, planar-strided temp=0.14G). rw strided slices + stack
+    + transpose produce the same [E, rw] through compact layouts (the
+    transpose-of-[rw, E] form is the column-major layout the resident
+    table already uses)."""
+    flat = out.reshape(-1)[: total_entries * rw]
+    cols = [flat[j::rw] for j in range(rw)]
+    return jnp.stack(cols, axis=0).T
+
+
 def _windowed_row_accumulate(keys, svals, total_entries: int, *,
                              J: int, window: int, matmul: str,
                              packed: bool, rows_pad: int, n_blocks: int):
@@ -575,8 +589,7 @@ def _windowed_row_accumulate(keys, svals, total_entries: int, *,
             keys.reshape(n_tiles * J, 1),
             svals.reshape(n_tiles * J, rw),
         )
-    flat = out.reshape(-1)[: total_entries * rw]
-    return flat.reshape(total_entries, rw)
+    return _deinterleave_rows(out, total_entries, rw)
 
 
 def sorted_table_grad(idx, v0, v1, total_entries: int):
@@ -632,8 +645,7 @@ def sorted_table_grad(idx, v0, v1, total_entries: int):
         s0.reshape(n_tiles, SUB, LANES),
         s1.reshape(n_tiles, SUB, LANES),
     )
-    flat = out.reshape(-1)[: total_entries * 2]
-    return flat.reshape(total_entries, 2)
+    return _deinterleave_rows(out, total_entries, 2)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
