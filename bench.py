@@ -273,9 +273,13 @@ def bench_stage4(n_rays_log2: int = 17, n_iters: int = 8):
     )
 
     n_rays = 1 << n_rays_log2
+    # batch_size_log2=19 puts the packed-hit cap (1.25 x 2^19) above
+    # the pool's true demand (~2.3 hits/ray x 2^17 rays ~ 300k), so the
+    # bench renders EVERY real hit — no cap truncation in the number
     cfg = Stage4Config(
         scene_type="synthetic", freeze_rf_steps=0,
         init_batch_size=n_rays, scale=1.0,
+        batch_size_log2=n_rays_log2 + 2,
     )
     verts, faces = _bumpy_sphere(200)
     loader = _PooledLoader(_orbit_batches(n_rays))
@@ -339,6 +343,7 @@ def bench_stage5(n_rays_log2: int = 17, n_iters: int = 8):
     n_rays = 1 << n_rays_log2
     cfg = Stage5Config(
         scene_type="synthetic", init_batch_size=n_rays, scale=1.0,
+        batch_size_log2=n_rays_log2 + 2,  # cap > true demand (stage-4 note)
     )
     verts, faces = _bumpy_sphere(200)
     loader = _PooledLoader(_orbit_batches(n_rays))
