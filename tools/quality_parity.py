@@ -21,6 +21,10 @@ corner_cube 15.661 / cell_l8f4 15.665.
 Run: JAX_PLATFORMS=cpu python tools/quality_parity.py [--steps 600]
 (~40 min on the throttled dev host; do not run concurrently with
 other CPU-heavy jobs.)
+
+On-chip variant (validates the REAL sorted/bf16pair Pallas kernels
+rather than the CPU emulation): python tools/quality_parity.py
+--platform tpu --only corner_cube,cell_l8f4_pair
 """
 import argparse
 import json
@@ -28,7 +32,9 @@ import sys
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if "tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/qf_jax_cache")
 sys.path.insert(0, "/root/repo")
 
 from quadraturefields_tpu.data.fixture import write_fixture_dataset
@@ -45,6 +51,11 @@ VARIANTS = [
     ("cell_l8f4_bf16sim", dict(interp="tet", layout="cell",
                                n_levels=8, n_features=4,
                                grad_payload="bf16sim")),
+    # on-chip only: the production packed-u32 pair sort + Pallas pair
+    # kernel (grad_mode auto resolves to "sorted" on accelerators)
+    ("cell_l8f4_pair", dict(interp="tet", layout="cell",
+                            n_levels=8, n_features=4,
+                            grad_payload="bf16pair")),
 ]
 
 
@@ -53,6 +64,8 @@ def main():
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--only", type=str, default=None,
                     help="comma-separated variant names")
+    ap.add_argument("--platform", type=str, default="cpu",
+                    choices=["cpu", "tpu"])
     args = ap.parse_args()
 
     write_fixture_dataset("/tmp/qf_parity/data", res=64, n_train=10,
