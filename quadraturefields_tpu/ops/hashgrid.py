@@ -390,34 +390,23 @@ def _cell_bwd(cfg: HashGridConfig, saved, g):
         # ngp.py:340-358 upstream). Pair lane k = (corner k//(F/2),
         # feature pair k%(F/2)): lo/hi [nL, 4F] with
         # lo[nl, k] = w8[nl, k//(F/2)] * g[nl, 2*(k%(F/2))].
-        from .hashgrid_sorted import (
-            sorted_pair_grad,
-            sorted_pair_grad_level,
-        )
+        # Level-batched sorting ([L, N] per-level sorts flattened
+        # level-major — valid because keys are level-disjoint) was
+        # measured and REJECTED: the sort alone is 1.24x faster but the
+        # point-major -> level-major payload transpose costs 9 ms at
+        # stage-1 scale, a net loss (15.4 vs 14.5 ms; probe
+        # tools/profiles/profile_levelsort.py, PERF_NOTES.md round 3).
+        from .hashgrid_sorted import sorted_pair_grad
 
         half = F // 2
         g2 = g32.reshape(n * L, F)
         wk = jnp.repeat(w8.reshape(n * L, 8), half, axis=1)  # [nL, 4F]
         g_lo = jnp.tile(g2[:, 0::2], (1, 8))                 # [nL, 4F]
         g_hi = jnp.tile(g2[:, 1::2], (1, 8))
-        if os.environ.get("QF_LEVEL_SORT", "0") not in ("0", ""):
-            # level-batched sort: keys are level-disjoint, so L
-            # independent [N]-sorts flattened level-major == the
-            # global sort at ~1.4x lower comparator depth (probe:
-            # tools/profiles/profile_levelsort.py)
-            level_last = tuple(
-                off + size - 1 for off, size in
-                zip(cfg.level_offsets[:-1], cfg.level_sizes)
-            )
-            d_table = sorted_pair_grad_level(
-                idx, wk * g_lo, wk * g_hi, level_last,
-                cfg.total_entries,
-            ).astype(table_dtype)
-        else:
-            d_table = sorted_pair_grad(
-                flat_idx, wk * g_lo, wk * g_hi,
-                cfg.total_entries,
-            ).astype(table_dtype)
+        d_table = sorted_pair_grad(
+            flat_idx, wk * g_lo, wk * g_hi,
+            cfg.total_entries,
+        ).astype(table_dtype)
     else:
         # contribution rows r[nl, c*F+f] = w8[nl, c] * g[nl, f], built
         # in 2D (lane repeat/tile) — the [n, L, 8, F] outer-product

@@ -344,57 +344,6 @@ def sorted_pair_grad(idx, lo, hi, total_entries: int, *,
     )
 
 
-def sorted_pair_grad_level(idx_nl, lo, hi, level_last, total_entries,
-                           *, window: int = W):
-    """sorted_pair_grad with the global sort replaced by a LEVEL-BATCHED
-    sort: hash keys carry the per-level table offset, so they are
-    level-disjoint and increasing with level — sorting each level's
-    contributions independently ([L, N] lax.sort on axis=1) and
-    flattening level-major IS a globally sorted stream, at comparator
-    depth log2(N)^2 instead of log2(L*N)^2 (~1.4x fewer compare-
-    exchange stages at L=8, stage-1 scale).
-
-    idx_nl: [N, L] point-major keys (already offset per level);
-    lo/hi: [N*L, pw] point-major contribution pairs;
-    level_last: sequence [L], the LAST valid key of each level
-    (offset + size - 1) — per-level pad sentinel. Pad payloads are
-    zero, so sentinels accumulate nothing into that (real) entry.
-    """
-    n, L = idx_nl.shape
-    m, pw = lo.shape
-    assert m == n * L
-    assert pw * 2 <= LANES and LANES % pw == 0
-    spr = LANES // pw
-    J = 128 * spr
-    lo16 = jax.lax.bitcast_convert_type(
-        lo.astype(jnp.bfloat16), jnp.uint16
-    ).astype(jnp.uint32)
-    hi16 = jax.lax.bitcast_convert_type(
-        hi.astype(jnp.bfloat16), jnp.uint16
-    ).astype(jnp.uint32)
-    u = (lo16 | (hi16 << 16)).reshape(n, L, pw)
-    k_lm = idx_nl.T.astype(jnp.uint32)             # [L, n]
-    u_lm = jnp.transpose(u, (1, 0, 2))             # [L, n, pw]
-    pad = (-n) % J
-    if pad:
-        sent = jnp.asarray(level_last, jnp.uint32)[:, None]
-        k_lm = jnp.concatenate(
-            [k_lm, jnp.broadcast_to(sent, (L, pad))], axis=1
-        )
-        u_lm = jnp.concatenate(
-            [u_lm, jnp.zeros((L, pad, pw), jnp.uint32)], axis=1
-        )
-    ops = (k_lm,) + tuple(u_lm[:, :, c] for c in range(pw))
-    sorted_ops = jax.lax.sort(ops, dimension=1, num_keys=1)
-    keys = sorted_ops[0].reshape(-1)
-    svals = jnp.stack(
-        [o.reshape(-1) for o in sorted_ops[1:]], axis=-1
-    )
-    return _pair_accumulate(
-        keys, svals, total_entries, pw=pw, window=window
-    )
-
-
 def _pair_accumulate(keys, svals, total_entries: int, *, pw: int,
                      window: int = W):
     """Post-sort half of the pair gradient: walk the globally sorted

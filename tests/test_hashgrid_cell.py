@@ -302,70 +302,3 @@ def test_cell_f4_bf16pair_close_to_f32():
     err = float(jnp.max(jnp.abs(g_pair - g_f32)))
     scale = float(jnp.max(jnp.abs(g_f32))) + 1e-9
     assert err / scale < 1.5e-2, (err, scale)
-
-
-def test_sorted_pair_grad_level_matches_flat():
-    """Level-batched sort path (QF_LEVEL_SORT): per-level [L, N] sorts
-    flattened level-major are a valid global sort because keys are
-    level-disjoint — output must equal the flat 9-operand path exactly
-    up to f32 accumulation order, and match the numpy segment-sum."""
-    import ml_dtypes
-    from quadraturefields_tpu.ops.hashgrid_sorted import (
-        sorted_pair_grad,
-        sorted_pair_grad_level,
-    )
-
-    rng = np.random.default_rng(7)
-    sizes = (56, 200, 512, 512)          # varied per-level sizes
-    offs = np.concatenate([[0], np.cumsum(sizes)])
-    total = int(offs[-1])
-    n, L = 1000, len(sizes)              # N % J != 0 -> pad path
-    idx_nl = np.stack(
-        [rng.integers(offs[l], offs[l] + sizes[l], n) for l in range(L)],
-        axis=1,
-    ).astype(np.int32)
-    lo = rng.normal(0, 1, (n * L, 8)).astype(np.float32)
-    hi = rng.normal(0, 1, (n * L, 8)).astype(np.float32)
-    level_last = tuple(int(offs[l] + sizes[l] - 1) for l in range(L))
-
-    got = np.asarray(sorted_pair_grad_level(
-        jnp.asarray(idx_nl), jnp.asarray(lo), jnp.asarray(hi),
-        level_last, total,
-    ))
-    flat = np.asarray(sorted_pair_grad(
-        jnp.asarray(idx_nl.reshape(-1)), jnp.asarray(lo),
-        jnp.asarray(hi), total,
-    ))
-    np.testing.assert_allclose(got, flat, rtol=2e-5, atol=2e-5)
-
-    lo_b = lo.astype(ml_dtypes.bfloat16).astype(np.float64)
-    hi_b = hi.astype(ml_dtypes.bfloat16).astype(np.float64)
-    want = np.zeros((total, 16), np.float64)
-    flat_idx = idx_nl.reshape(-1)
-    for c in range(8):
-        np.add.at(want[:, 2 * c], flat_idx, lo_b[:, c])
-        np.add.at(want[:, 2 * c + 1], flat_idx, hi_b[:, c])
-    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
-
-
-def test_cell_bwd_level_sort_env_gate(monkeypatch):
-    """End-to-end: _cell_bwd with QF_LEVEL_SORT=1 produces the same
-    table gradient as the flat bf16pair path."""
-    cfg = HashGridConfig(
-        n_levels=5, n_features=2, log2_hashmap_size=8,
-        base_resolution=4, per_level_scale=1.7, layout="cell",
-        grad_mode="sorted", grad_payload="bf16pair",
-    )
-    table = hashgrid_init(jax.random.PRNGKey(0), cfg)
-    x = jax.random.uniform(jax.random.PRNGKey(3), (389, 3))
-
-    def loss(t):
-        return jnp.sum(jnp.sin(hashgrid_encode(t, x, cfg)))
-
-    monkeypatch.delenv("QF_LEVEL_SORT", raising=False)
-    g_flat = jax.grad(loss)(table)
-    monkeypatch.setenv("QF_LEVEL_SORT", "1")
-    g_level = jax.grad(loss)(table)
-    np.testing.assert_allclose(
-        np.asarray(g_level), np.asarray(g_flat), rtol=2e-5, atol=2e-5
-    )
