@@ -228,9 +228,12 @@ texture_size = 4096
 train_ds = SubjectLoader(
     subject_id="fixture", root_fp=data_root, split="train", num_rays=8192
 )
+# exhaustive prune (n_batches=None): every pixel of every train view —
+# sampled pruning at this mesh size deleted 93% of visible faces and
+# cost 17 dB of baked PSNR (diag_baked_quality.py, 2026-08-19)
 pruned, _ = prune_mesh(
     t4.params["rf"], t4.ngp_cfg, t4.mesh_intersect, train_ds, t4.aabb,
-    render_step_size=5e-3, n_batches=8, out_dir=out_dir,
+    render_step_size=5e-3, out_dir=out_dir,
 )
 atlas_mesh, uv, v_image, tri_image = segment_and_atlas(
     pruned, texture_size, out_dir=out_dir
