@@ -90,17 +90,20 @@ def split_folded_segments(
     next_label = int(segs.max()) + 1 if segs.size else 0
 
     # connectivity first (once; normal splits below never reconnect)
-    for lab in np.unique(segs):
-        sel = np.where(segs == lab)[0]
+    for lab, sel in _group_by_label(segs):
         comps = _split_connected_components(mesh.faces, sel)
         for comp in comps[1:]:
             segs[sel[comp]] = next_label
             next_label += 1
 
+    # worklist: only labels created by a split need re-checking — a
+    # segment whose faces did not change cannot change verdict. (The
+    # previous revisit-everything loop was O(labels x faces) per round
+    # — 45 min at 846k faces / 100k segments on the prod mesh.)
+    pending = None  # None = first round visits every label
     for _ in range(max_rounds):
-        changed = False
-        for lab in np.unique(segs):
-            sel = np.where(segs == lab)[0]
+        new_labels = set()
+        for lab, sel in _group_by_label(segs, only=pending):
             if sel.size <= 1:
                 continue
             n = normals[sel]
@@ -125,19 +128,32 @@ def split_folded_segments(
                 comps = _split_connected_components(mesh.faces, half)
                 for comp in comps:
                     segs[half[comp]] = next_label
+                    new_labels.add(next_label)
                     next_label += 1
-            changed = True
-        if not changed:
+        if not new_labels:
             break
+        pending = new_labels
     return segs
+
+
+def _group_by_label(segs: np.ndarray, only=None):
+    """Yield (label, face-index array) per segment via one argsort —
+    O(n log n) instead of a per-label np.where scan."""
+    order = np.argsort(segs, kind="stable")
+    ss = segs[order]
+    starts = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
+    ends = np.r_[starts[1:], ss.size]
+    for s, e in zip(starts, ends):
+        lab = int(ss[s])
+        if only is None or lab in only:
+            yield lab, order[s:e]
 
 
 def _segment_charts(mesh: Mesh, face_segments: np.ndarray):
     """Split into per-segment submeshes with local vertex indexing and
     plane-projected 2-D coords."""
     charts = []
-    for seg in np.unique(face_segments):
-        fsel = np.where(face_segments == seg)[0]
+    for seg, fsel in _group_by_label(np.asarray(face_segments)):
         faces = mesh.faces[fsel]
         used, inv = np.unique(faces.reshape(-1), return_inverse=True)
         verts = mesh.vertices[used]
@@ -290,11 +306,10 @@ def build_uv_atlas(
     labels, counts = np.unique(face_segments, return_counts=True)
     if len(labels) > max_charts:
         order = np.argsort(-counts)
-        keep = set(labels[order[: max_charts - 1]].tolist())
+        keep_labels = labels[order[: max_charts - 1]]
         misc = labels[order[max_charts - 1]]
-        for lab in labels:
-            if lab not in keep:
-                face_segments[face_segments == lab] = misc
+        fold = ~np.isin(face_segments, keep_labels)
+        face_segments[fold] = misc
 
     charts = _segment_charts(mesh, face_segments)
     total_area = sum(
