@@ -559,7 +559,10 @@ def bench_baked_fps():
                     renderer.mesh_intersect.intersect_rows_uv(o, d)
                 )
                 slots, ts_p, uv_p = renderer.pack_hits_uv(
-                    tri_ids, ts, uvs, cap=int(o.shape[0] * 1.25)
+                    tri_ids, ts, uvs,
+                    cap=renderer._pack_cap(
+                        o.shape[0], int((tri_ids >= 0).sum()), None
+                    ),
                 )
                 q.put((i, slots, uv_p, ts_p, o.shape[0]))
             q.put(None)
@@ -606,7 +609,10 @@ def bench_baked_fps():
             o, viewdirs[i:i + chunk]
         )
         slots, ts_p, uv_p = renderer.pack_hits_uv(
-            tri_ids, ts, uvs, cap=int(o.shape[0] * 1.25)
+            tri_ids, ts, uvs,
+            cap=renderer._pack_cap(
+                o.shape[0], int((tri_ids >= 0).sum()), None
+            ),
         )
         staged.append((
             jnp.float32(i),

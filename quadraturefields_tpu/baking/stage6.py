@@ -144,6 +144,7 @@ def segment_and_atlas(
     *,
     kthr: float = 0.01,
     min_size: int = 20,
+    padding: float = 2.0,
     out_dir: str | None = None,
 ):
     """Segmentation + UV atlas + V image. Writes the reference's
@@ -151,7 +152,7 @@ def segment_and_atlas(
     face_seg = segment_mesh(mesh.vertices, mesh.faces, kthr=kthr,
                             min_size=min_size)
     atlas_mesh, uv, atlas_stats = build_uv_atlas(
-        mesh, face_seg, texture_size
+        mesh, face_seg, texture_size, padding=padding
     )
     v_image, tri_image = rasterize_v_image(atlas_mesh, uv, texture_size)
     # end-to-end texel utilization incl. boundary dilation (VERDICT
@@ -471,6 +472,25 @@ class BakedRenderer:
         return rgb, alpha, depth
 
     @staticmethod
+    def _pack_cap(n_rays: int, n_valid: int, pack_cap_hits) -> int:
+        """Static pack-stream size. None (the default) = adaptive: the
+        next power of two >= the chunk's TRUE hit count (floored at
+        n_rays so quiet chunks share one jit cache entry). A float
+        fixes cap = n_rays * pack_cap_hits. The fixed 2.0 default was
+        a measured 10 dB baked-PSNR bug: on the prod 846k-face mesh
+        (exhaustive pruning keeps layered interior sheets) the busiest
+        8192-ray chunk carried 46.3k valid hits against the 16384 cap,
+        so pack_hits silently dropped 70% of them — every hit past
+        depth level 4 of the 25 the reference composites
+        (test_baking_texture_images.py:341-415). See PERF_NOTES."""
+        if pack_cap_hits is not None:
+            return int(n_rays * pack_cap_hits)
+        cap = max(int(n_rays), 128)
+        while cap < n_valid:
+            cap *= 2
+        return cap
+
+    @staticmethod
     def pack_hits_uv(tri_ids, ts, uvs, cap: int):
         """pack_hits for the UV transport: -> (slots, ts, uv) packed."""
         valid = tri_ids >= 0
@@ -516,7 +536,8 @@ class BakedRenderer:
         )
 
     def render_rays(self, origins, viewdirs, packed: bool = True,
-                    pack_cap_hits: float = 2.0, uv_transport: bool = True):
+                    pack_cap_hits: float | None = None,
+                    uv_transport: bool = True):
         n = origins.shape[0]
         if packed and uv_transport:
             tri_ids, ts, _, uvs = self.mesh_intersect.intersect_rows_uv(
@@ -526,7 +547,8 @@ class BakedRenderer:
                 self._render_packed_uv = jax.jit(
                     self._render_packed_uv_impl, static_argnums=(5, 6)
                 )
-            cap = int(n * pack_cap_hits)
+            cap = self._pack_cap(n, int((tri_ids >= 0).sum()),
+                                 pack_cap_hits)
             slots, ts_p, uv_p = self.pack_hits_uv(tri_ids, ts, uvs, cap)
             rgb, alpha, depth = self._render_packed_uv(
                 self.maps_packed, jnp.asarray(viewdirs),
@@ -542,7 +564,8 @@ class BakedRenderer:
                 self._render_packed = jax.jit(
                     self._render_packed_impl, static_argnums=(7, 8)
                 )
-            cap = int(n * pack_cap_hits)
+            cap = self._pack_cap(n, int((tri_ids >= 0).sum()),
+                                 pack_cap_hits)
             slots, tri_p, ts_p = self.pack_hits(tri_ids, ts, cap)
             # pinhole cameras share one origin: upload [1,3] + broadcast
             o_rows = (
