@@ -45,6 +45,7 @@ def prune_mesh(
     weight_thres: float = 1e-3,
     n_batches: int | None = None,
     rays_per_batch: int = 8192,
+    extra_views=None,
     out_dir: str | None = None,
 ):
     """Keep faces whose max rendering weight over the train views
@@ -60,6 +61,14 @@ def prune_mesh(
     baked PSNR (tools/profiles/diag_baked_quality.py). Default
     (n_batches=None) therefore sweeps all pixels of all views in
     rays_per_batch chunks; pass n_batches for the sampled quick mode.
+
+    extra_views: optional list of loaders with __len__ and
+    rays_for_view(i) (e.g. data.own_views.spiral_prune_rings) swept
+    exhaustively IN ADDITION to the dataset — the split-independent
+    analog of the reference's `--train_split trainval` coverage knob
+    (prune_mesh_after_finetuning.py:62-66). With a sparse train split,
+    faces only the held-out views see are otherwise deleted as
+    invisible at any threshold.
     """
     n_faces = mesh_intersect.n_faces
     tri_weights = np.zeros((n_faces,), np.float32)
@@ -97,26 +106,29 @@ def prune_mesh(
             tri_weights, tri_ids.reshape(-1)[sel], w.reshape(-1)[sel]
         )
 
-    if n_batches is None:
-        # exhaustive: every pixel of every train view, fixed-shape
-        # chunks (pad the tail by repeating the last ray — padding can
-        # only RAISE a face's max weight with rays that genuinely see it)
+    def sweep_view(origins, viewdirs):
+        # exhaustive: every pixel, fixed-shape chunks (pad the tail by
+        # repeating the last ray — padding can only RAISE a face's max
+        # weight with rays that genuinely see it)
         c = rays_per_batch
+        origins = np.asarray(origins, np.float32)
+        viewdirs = np.asarray(viewdirs, np.float32)
+        n = origins.shape[0]
+        n_pad = (n + c - 1) // c * c
+        if n_pad != n:
+            origins = np.concatenate(
+                [origins, np.repeat(origins[-1:], n_pad - n, 0)]
+            )
+            viewdirs = np.concatenate(
+                [viewdirs, np.repeat(viewdirs[-1:], n_pad - n, 0)]
+            )
+        for j in range(0, n_pad, c):
+            accumulate(origins[j:j + c], viewdirs[j:j + c])
+
+    if n_batches is None:
         for i in range(len(dataset)):
             view = dataset.fetch_eval_view(i)
-            origins = np.asarray(view["rays"].origins, np.float32)
-            viewdirs = np.asarray(view["rays"].viewdirs, np.float32)
-            n = origins.shape[0]
-            n_pad = (n + c - 1) // c * c
-            if n_pad != n:
-                origins = np.concatenate(
-                    [origins, np.repeat(origins[-1:], n_pad - n, 0)]
-                )
-                viewdirs = np.concatenate(
-                    [viewdirs, np.repeat(viewdirs[-1:], n_pad - n, 0)]
-                )
-            for j in range(0, n_pad, c):
-                accumulate(origins[j:j + c], viewdirs[j:j + c])
+            sweep_view(view["rays"].origins, view["rays"].viewdirs)
     else:
         prev_num_rays = dataset.num_rays
         dataset.update_num_rays(rays_per_batch)
@@ -127,6 +139,12 @@ def prune_mesh(
                 np.asarray(batch["rays"].viewdirs),
             )
         dataset.update_num_rays(prev_num_rays)
+
+    if extra_views is not None:
+        for loader in extra_views:
+            for i in range(len(loader)):
+                rays = loader.rays_for_view(i)
+                sweep_view(rays.origins, rays.viewdirs)
 
     mask = tri_weights > weight_thres
     pruned = Mesh(

@@ -38,6 +38,14 @@ def build_parser():
     p.add_argument("--scale", type=float, default=1.5)
     p.add_argument("--kthr", type=float, default=0.01)
     p.add_argument("--min_segment_size", type=int, default=20)
+    p.add_argument("--prune_spiral_views", type=int, default=0,
+                   help="extra spiral prune-coverage views per ring "
+                        "(3 rings); the split-independent analog of the "
+                        "reference's --train_split trainval knob "
+                        "(prune_mesh_after_finetuning.py:62-66)")
+    p.add_argument("--prune_spiral_distance", type=float, default=4.0,
+                   help="spiral camera distance (NeRF-synthetic train "
+                        "cameras orbit at ~4.03)")
     return p
 
 
@@ -89,8 +97,18 @@ def main(argv=None):
             mesh_path=args.mesh_path, simplify_mesh=False, scale=1.0,
             num_intersections=args.max_hits,
         )
+        extra_views = None
+        if args.prune_spiral_views > 0:
+            from ..data.own_views import spiral_prune_rings
+
+            extra_views = spiral_prune_rings(
+                distance=args.prune_spiral_distance,
+                n_per_ring=args.prune_spiral_views,
+                resolution=train_ds.WIDTH,
+            )
         pruned, _ = prune_mesh(
-            teacher, teacher_cfg, mi, train_ds, aabb, out_dir=out_dir
+            teacher, teacher_cfg, mi, train_ds, aabb,
+            extra_views=extra_views, out_dir=out_dir,
         )
         print("pruned mesh:", pruned.faces.shape)
 

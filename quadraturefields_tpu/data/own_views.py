@@ -41,8 +41,9 @@ def look_at_pose(eye, target=None, up=None):
     return c2w
 
 
-def create_uniform_camera_poses(distance: float = 2.0, n: int = 100):
-    pts = spiral_positions(distance, n=n)
+def create_uniform_camera_poses(distance: float = 2.0, n: int = 100,
+                                z: float = 0.01):
+    pts = spiral_positions(distance, n=n, z=z)
     return np.stack([look_at_pose(p) for p in pts])
 
 
@@ -52,10 +53,10 @@ class SubjectLoaderOwnViews:
 
     def __init__(self, resolution: int = 2000, mesh_intersect=None,
                  camera_scale: float = 2.0, fov_deg: float = 60.0,
-                 n_views: int = 100):
+                 n_views: int = 100, z: float = 0.01):
         self.mesh_intersect = mesh_intersect
         self.camera_poses = create_uniform_camera_poses(
-            camera_scale, n=n_views
+            camera_scale, n=n_views, z=z
         )
         self.resolution = resolution
         self.WIDTH = self.HEIGHT = resolution
@@ -95,3 +96,34 @@ class SubjectLoaderOwnViews:
             )
             data["hits"] = (tri_ids, ts, valid)
         return data
+
+
+def spiral_prune_rings(distance: float = 4.0, n_per_ring: int = 10,
+                       z_fracs=(0.1, 0.45, 0.8), resolution: int = 200,
+                       fov_deg: float = 60.0):
+    """Spiral-ring view set for prune-coverage augmentation.
+
+    Mesh pruning keeps faces whose max render weight over the sweep
+    views exceeds the threshold; with a sparse train split, faces the
+    test views see but no train view ever hits are deleted as
+    "invisible" regardless of threshold (measured: 6.7 dB of baked
+    PSNR on the 12-view prod fixture, PERF_NOTES.md). The reference's
+    own knob for this is densifying the sweep split
+    (prune_mesh_after_finetuning.py:62-66 `--train_split trainval`);
+    these rings are the split-independent analog, built from the
+    reference's spiral visibility cameras (nerf_synthetic.py:381-427).
+    Pruning needs only rays — no GT images — so the sweep can be
+    arbitrarily dense.
+
+    Each ring sits at the train-camera distance (elevation fraction
+    z_frac = sin of the elevation angle), so the union covers the
+    orbit band NeRF-synthetic-style test cameras are drawn from.
+    """
+    rings = []
+    for zf in z_fracs:
+        scale = distance / float(np.sqrt(1.0 + zf * zf))
+        rings.append(SubjectLoaderOwnViews(
+            resolution=resolution, camera_scale=scale, fov_deg=fov_deg,
+            n_views=n_per_ring, z=zf,
+        ))
+    return rings

@@ -127,3 +127,70 @@ def test_uv_atlas_and_rasterize():
     near0 = np.abs(z) < 0.05
     near2 = np.abs(z - 2.0) < 0.05
     assert (near0 | near2).mean() > 0.99
+
+
+def test_prune_spiral_coverage_keeps_unseen_faces():
+    """A face no train ray ever hits is deleted at ANY weight threshold;
+    spiral extra_views (the reference's trainval-coverage analog,
+    prune_mesh_after_finetuning.py:62-66) must keep it. Quad A sits at
+    the origin under a narrow top-down train bundle; quad B at x=+2 is
+    outside that bundle but inside the spiral rings' frustums."""
+    import jax
+    import numpy as np
+
+    from quadraturefields_tpu.baking.stage6 import prune_mesh
+    from quadraturefields_tpu.data.nerf_synthetic import Rays
+    from quadraturefields_tpu.data.own_views import spiral_prune_rings
+    from quadraturefields_tpu.geometry.intersect import MeshIntersection
+    from quadraturefields_tpu.geometry.meshio import Mesh
+    from quadraturefields_tpu.models.ngp import NGPConfig, ngp_init
+
+    quad_v = np.asarray(
+        [[-0.4, -0.4, 0], [0.4, -0.4, 0], [0.4, 0.4, 0], [-0.4, 0.4, 0]],
+        np.float32,
+    )
+    quad_f = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
+    v_b = quad_v + np.asarray([2.0, 0, 0], np.float32)
+    mesh = Mesh(np.concatenate([quad_v, v_b]),
+                np.concatenate([quad_f, quad_f + 4]))
+    mi = MeshIntersection(mesh=mesh, simplify_mesh=False,
+                          num_intersections=4)
+
+    # narrow top-down train bundle over quad A only
+    n = 256
+    rng = np.random.default_rng(0)
+    xy = rng.uniform(-0.35, 0.35, (n, 2)).astype(np.float32)
+    origins = np.concatenate(
+        [xy, np.full((n, 1), 3.0, np.float32)], axis=1
+    )
+    viewdirs = np.tile(np.asarray([[0, 0, -1.0]], np.float32), (n, 1))
+
+    class OneView:
+        def __len__(self):
+            return 1
+
+        def fetch_eval_view(self, i):
+            return {"rays": Rays(origins=origins, viewdirs=viewdirs)}
+
+    cfg = NGPConfig(head="mlp", use_viewdirs=False,
+                    log2_hashmap_size=12, max_resolution=64)
+    params = ngp_init(jax.random.PRNGKey(0), cfg)
+    aabb = np.asarray([-3, -3, -3, 3, 3, 3], np.float32)
+    rings = spiral_prune_rings(distance=4.0, n_per_ring=4,
+                               z_fracs=(0.3, 0.7), resolution=64)
+
+    kw = dict(render_step_size=5e-3, weight_thres=0.0,
+              rays_per_batch=1024)
+    pruned_no, w_no = prune_mesh(
+        params, cfg, mi, OneView(), aabb, **kw
+    )
+    pruned_sp, w_sp = prune_mesh(
+        params, cfg, mi, OneView(), aabb, extra_views=rings, **kw
+    )
+    # faces 0/1 (quad A) hit by the train bundle in both
+    assert w_no[0] > 0 and w_no[1] > 0
+    # quad B invisible to the train bundle, visible from the rings
+    assert w_no[2] == 0 and w_no[3] == 0
+    assert w_sp[2] > 0 and w_sp[3] > 0
+    assert pruned_no.faces.shape[0] == 2
+    assert pruned_sp.faces.shape[0] == 4

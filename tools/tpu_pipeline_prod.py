@@ -224,19 +224,34 @@ from quadraturefields_tpu.baking.stage6 import (
 from quadraturefields_tpu.data.nerf_synthetic import SubjectLoader
 
 t_stage = time.time()
-texture_size = 4096
+# khady-contract default (run_shelly_baking.sh:23): at ~1M kept faces
+# the 4096 atlas costs ~2.3 dB of texel fidelity (233k charts,
+# tri_utilization 0.062) while 8192/pad1 is measured ~lossless vs the
+# SG-at-hits ceiling — see BASELINE.md 2026-08-19 rows
+texture_size = int(os.environ.get("QF_PROD_TEX", 8192))
+atlas_padding = float(os.environ.get("QF_PROD_PAD", 1.0))
 train_ds = SubjectLoader(
     subject_id="fixture", root_fp=data_root, split="train", num_rays=8192
 )
 # exhaustive prune (n_batches=None): every pixel of every train view —
 # sampled pruning at this mesh size deleted 93% of visible faces and
-# cost 17 dB of baked PSNR (diag_baked_quality.py, 2026-08-19)
+# cost 17 dB of baked PSNR (diag_baked_quality.py, 2026-08-19) — plus
+# spiral coverage rings: with only 12 train views, faces the test
+# views see but no train ray hits are deleted at any threshold
+# (~6.7 dB; PERF_NOTES), the trainval-coverage analog
+from quadraturefields_tpu.data.own_views import spiral_prune_rings
+
 pruned, _ = prune_mesh(
     t4.params["rf"], t4.ngp_cfg, t4.mesh_intersect, train_ds, t4.aabb,
-    render_step_size=5e-3, out_dir=out_dir,
+    render_step_size=5e-3,
+    extra_views=spiral_prune_rings(
+        distance=4.0, n_per_ring=10, z_fracs=(0.1, 0.45, 0.8),
+        resolution=200,
+    ),
+    out_dir=out_dir,
 )
 atlas_mesh, uv, v_image, tri_image = segment_and_atlas(
-    pruned, texture_size, out_dir=out_dir
+    pruned, texture_size, padding=atlas_padding, out_dir=out_dir
 )
 with open(os.path.join(out_dir, "atlas_stats.json")) as f:
     LADDER["atlas"] = json.load(f)
