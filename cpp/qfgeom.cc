@@ -279,8 +279,22 @@ class MarchingTets {
       edge_verts.emplace(key, vid);
       return vid;
     };
-    auto emit_tri = [&](int32_t a, int32_t b, int32_t c) {
+    // Orient every triangle so its normal points AWAY from the tet's
+    // inside (field > level) corners. The case tables alone cannot fix
+    // winding: the 6-tet cube decomposition alternates handedness, so
+    // topological orderings emit ~random orientations (measured 56/44
+    // outward/inward on a sphere), which scrambles every normal-based
+    // consumer (UV fold-splitting, prune visibility cones).
+    auto vert_at = [&](int32_t i) {
+      return v3(out.verts[3 * i], out.verts[3 * i + 1],
+                out.verts[3 * i + 2]);
+    };
+    auto emit_tri = [&](int32_t a, int32_t b, int32_t c, V3 inside_pt) {
       if (a == b || b == c || a == c) return;
+      V3 pa = vert_at(a), pb = vert_at(b), pc = vert_at(c);
+      V3 n = cross(pb - pa, pc - pa);
+      V3 cen = (pa + pb + pc) * (1.0f / 3.0f);
+      if (dot(n, cen - inside_pt) < 0.0f) std::swap(b, c);
       out.faces.push_back(a);
       out.faces.push_back(b);
       out.faces.push_back(c);
@@ -318,23 +332,27 @@ class MarchingTets {
               if (mask & (1 << c)) inside[ni++] = c;
               else outside[no++] = c;
             }
+            V3 inside_pt = v3(0.0f, 0.0f, 0.0f);
+            for (int c = 0; c < ni; ++c)
+              inside_pt = inside_pt + vpos(tid[inside[c]]);
+            inside_pt = inside_pt * (1.0f / (float)ni);
             if (ni == 1) {
               int32_t a = edge_vertex(tid[inside[0]], tid[outside[0]]);
               int32_t b = edge_vertex(tid[inside[0]], tid[outside[1]]);
               int32_t c = edge_vertex(tid[inside[0]], tid[outside[2]]);
-              emit_tri(a, b, c);
+              emit_tri(a, b, c, inside_pt);
             } else if (ni == 3) {
               int32_t a = edge_vertex(tid[outside[0]], tid[inside[0]]);
               int32_t b = edge_vertex(tid[outside[0]], tid[inside[1]]);
               int32_t c = edge_vertex(tid[outside[0]], tid[inside[2]]);
-              emit_tri(a, c, b);
+              emit_tri(a, c, b, inside_pt);
             } else {  // ni == 2: quad -> two triangles
               int32_t a = edge_vertex(tid[inside[0]], tid[outside[0]]);
               int32_t b = edge_vertex(tid[inside[0]], tid[outside[1]]);
               int32_t c = edge_vertex(tid[inside[1]], tid[outside[1]]);
               int32_t d = edge_vertex(tid[inside[1]], tid[outside[0]]);
-              emit_tri(a, b, c);
-              emit_tri(a, c, d);
+              emit_tri(a, b, c, inside_pt);
+              emit_tri(a, c, d, inside_pt);
             }
           }
         }

@@ -161,12 +161,24 @@ def segment_and_atlas(
     texture_size: int,
     *,
     kthr: float = 0.01,
-    min_size: int = 20,
+    min_size: int | None = None,
     padding: float = 2.0,
     out_dir: str | None = None,
 ):
     """Segmentation + UV atlas + V image. Writes the reference's
-    artifact set (segs.json, mesh_segmentation_<N>.obj, V_<N>.npy)."""
+    artifact set (segs.json, mesh_segmentation_<N>.obj, V_<N>.npy).
+
+    min_size=None picks the merge floor adaptively at ~1% of the face
+    count (floor 20): on decimated meshes the Felzenszwalb step alone
+    splinters into ~17-face segments whose per-chart rect+padding
+    overhead collapses texel utilization, while the fold-splitter's
+    cone criterion — not min_size — sets the final chart granularity,
+    so large pre-merge segments are safe (measured ladder in
+    tools/profiles/diag_atlas_sweep.py: tri_utilization 0.06-0.31 at
+    min_size 20 vs 0.48 adaptive on the same mesh, after the
+    marching-tets winding fix that cone splitting depends on)."""
+    if min_size is None:
+        min_size = max(20, mesh.faces.shape[0] // 100)
     face_seg = segment_mesh(mesh.vertices, mesh.faces, kthr=kthr,
                             min_size=min_size)
     atlas_mesh, uv, atlas_stats = build_uv_atlas(

@@ -32,6 +32,40 @@ def _face_normals(mesh: Mesh) -> np.ndarray:
     return n / np.maximum(ln, 1e-12)
 
 
+def _smooth_face_normals(mesh: Mesh, normals: np.ndarray,
+                         rounds: int) -> np.ndarray:
+    """Average each face normal with its edge-neighbours' for `rounds`
+    iterations (renormalizing). Decimated meshes carry spike faces
+    whose raw normals fragment the fold-splitter into ~5-face charts
+    (measured: 17.6k charts on a 97k-face clustering-decimated sphere
+    at ANY segmentation granularity — tools/profiles/diag_atlas_sweep);
+    cone-testing against locally-smoothed normals keeps charts at the
+    segment scale. The reference tolerates the same local folds:
+    xatlas runs with max_cost=10000 and normal_deviation_weight=0
+    (generate_uv_xatlas_old.py:74-81), which never splits a segment on
+    normal deviation at all."""
+    if rounds <= 0:
+        return normals
+    f = mesh.faces
+    edges = np.concatenate(
+        [f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]], axis=0
+    )
+    edges = np.sort(edges, axis=1)
+    face_of_edge = np.tile(np.arange(f.shape[0]), 3)
+    order = np.lexsort((edges[:, 1], edges[:, 0]))
+    edges_s, faces_s = edges[order], face_of_edge[order]
+    same = np.all(edges_s[1:] == edges_s[:-1], axis=1)
+    a, b = faces_s[:-1][same], faces_s[1:][same]
+    sm = normals.copy()
+    for _ in range(rounds):
+        acc = sm.copy()
+        np.add.at(acc, a, sm[b])
+        np.add.at(acc, b, sm[a])
+        ln = np.linalg.norm(acc, axis=1, keepdims=True)
+        sm = acc / np.maximum(ln, 1e-12)
+    return sm
+
+
 def _split_connected_components(faces: np.ndarray, sel: np.ndarray):
     """Partition the selected faces into edge-connected components
     (union-find over shared undirected edges). Returns a list of
@@ -70,6 +104,8 @@ def split_folded_segments(
     face_segments: np.ndarray,
     cos_thres: float = 0.5,
     max_rounds: int = 16,
+    normal_smooth_rounds: int = 0,
+    area_tol: float = 0.0,
 ) -> np.ndarray:
     """Refine a face segmentation until every segment is safe to
     PCA-plane-project (VERDICT #6; the reference gets the equivalent
@@ -79,17 +115,44 @@ def split_folded_segments(
       1. each segment must be one edge-connected component (two
          disconnected near-parallel sheets would overlap in projection);
       2. each segment's face normals must lie inside a cone:
-         min dot(n_face, mean_normal) >= cos_thres (default 60 deg) —
-         a folded/curved patch maps two surface points to one texel.
+         dot(n_face, mean_normal) >= cos_thres — the signed projected
+         area of a face is (n.d) * A, so dot < 0 means the face inverts
+         (overlaps its neighbours in the texture) and 0 <= dot <
+         cos_thres means it is severely texel-compressed.
 
-    Cone violators split along the dominant normal-spread axis
-    (SVD of centered normals), recursively up to max_rounds.
+    `area_tol = 0` is the strict mode: EVERY face must pass, which
+    guarantees an injective chart. `area_tol > 0` is the area-tolerant
+    mode for marching-tets/decimation meshes whose face normals are
+    noise at the face scale (measured: strict splitting bottoms out at
+    ~5-face charts on a clustering-decimated sphere REGARDLESS of the
+    segmentation granularity — tools/profiles/diag_atlas_sweep): a
+    segment is accepted when the offending faces cover at most that
+    AREA fraction; the sub-texel overlaps this admits at sliver faces
+    are the same class the reference accepts (xatlas at
+    max_cost=10000 / normal_deviation_weight=0 / padding=0,
+    generate_uv_xatlas_old.py:74-85, never splits on normal deviation
+    and packs charts with no gap).
+
+    Violators split in half and recurse (up to max_rounds): two-sided
+    segments (area-weighted mean normal ~ 0: front+back of a thin
+    sheet) split by the dominant normal-spread axis so connectivity
+    can separate the sides at the rim; one-sided ones split spatially
+    along the dominant position axis, which converges on macro-curved
+    patches where noisy normals cannot.
     """
     segs = np.asarray(face_segments).astype(np.int64).copy()
-    normals = _face_normals(mesh)
+    normals = _smooth_face_normals(
+        mesh, _face_normals(mesh), normal_smooth_rounds
+    )
+    v, f = mesh.vertices, mesh.faces
+    areas = 0.5 * np.linalg.norm(
+        np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]]),
+        axis=1,
+    ).astype(np.float64)
+    centroids = v[f].mean(1).astype(np.float64)
     next_label = int(segs.max()) + 1 if segs.size else 0
 
-    # connectivity first (once; normal splits below never reconnect)
+    # connectivity first (once; the splits below never reconnect)
     for lab, sel in _group_by_label(segs):
         comps = _split_connected_components(mesh.faces, sel)
         for comp in comps[1:]:
@@ -107,22 +170,38 @@ def split_folded_segments(
             if sel.size <= 1:
                 continue
             n = normals[sel]
-            mean = n.mean(0)
+            w = areas[sel]
+            w_total = max(w.sum(), 1e-30)
+            mean = (n * w[:, None]).sum(0)
             norm = np.linalg.norm(mean)
+            two_sided = norm < 0.3 * w_total
             if norm > 1e-9:
                 mean = mean / norm
                 dots = n @ mean
-                if dots.min() >= cos_thres:
+                bad = w[dots < cos_thres].sum() / w_total
+                if bad <= area_tol:
                     continue
             else:  # antipodal normal set: always split
                 dots = n @ n[0]
-            centered = n - n.mean(0)
-            _, _, vt = np.linalg.svd(centered, full_matrices=False)
-            side = centered @ vt[0] >= 0
+            if two_sided or area_tol <= 0.0:
+                # normal-spread split (front/back of a thin sheet
+                # disconnect at the rim) — also the strict-mode split
+                centered = n - n.mean(0)
+                _, _, vt = np.linalg.svd(
+                    centered, full_matrices=False
+                )
+                side = centered @ vt[0] >= 0
+                if side.all() or not side.any():
+                    side = dots < np.median(dots)
+            else:
+                # spatial bisection along the dominant position axis
+                c = centroids[sel]
+                cc = c - c.mean(0)
+                _, _, vt = np.linalg.svd(cc, full_matrices=False)
+                proj = cc @ vt[0]
+                side = proj >= np.median(proj)
             if side.all() or not side.any():
-                side = dots < np.median(dots)
-            if side.all() or not side.any():
-                continue  # identical normals yet cone fails: give up
+                continue  # degenerate: give up on this segment
             # each half may disconnect: re-split by connectivity
             for half in (sel[side], sel[~side]):
                 comps = _split_connected_components(mesh.faces, half)
@@ -287,15 +366,27 @@ def build_uv_atlas(
     init_ratio: float = 0.6,
     fold_split: bool = True,
     fold_cos_thres: float = 0.5,
+    fold_smooth_rounds: int = 0,
+    fold_area_tol: float = 0.0,
+    scale_refine: int = 4,
 ):
     """-> (atlas_mesh, uv [V,2] texel coords). Vertices are duplicated
     per chart (seam-free charts, like xatlas vmapping). `fold_split`
     refines the segmentation so every chart projects injectively
-    (split_folded_segments)."""
+    (split_folded_segments). `fold_smooth_rounds` > 0 cone-tests
+    against locally-smoothed normals — spike faces from decimation no
+    longer fragment charts, at the cost of sub-texel local overlaps at
+    the spikes (the reference's xatlas config accepts the same).
+    `scale_refine` binary-searches the texel scale between the last
+    infeasible pack and the feasible one (the plain retry loop leaves
+    up to 1.38x texel area on the table: a success after k shrinks
+    lands at init_ratio * 0.85^(2k) fill)."""
     face_segments = np.asarray(face_segments).copy()
     if fold_split:
         face_segments = split_folded_segments(
-            mesh, face_segments, cos_thres=fold_cos_thres
+            mesh, face_segments, cos_thres=fold_cos_thres,
+            normal_smooth_rounds=fold_smooth_rounds,
+            area_tol=fold_area_tol,
         )
     # Feasibility guard: each chart costs at least (2p+2)^2 texels; if
     # the segmentation produced more charts than fit, fold the smallest
@@ -323,13 +414,17 @@ def build_uv_atlas(
     # texels per world unit: fill ~init_ratio^2 of the atlas, then the
     # retry-shrink loop backs off on overflow
     # (generate_uv_xatlas_old.py:69-94)
+    chart_extents = np.array(
+        [c["uv"].max(0) for c in charts], np.float32
+    )
+
+    def _try_pack(s):
+        sizes = chart_extents * s + 2 * pad + 1.0
+        return sizes, _skyline_pack(sizes, texture_size)
+
     scale = np.sqrt(init_ratio * texture_size**2 / total_area)
     for attempt in range(60):
-        sizes = np.array(
-            [c["uv"].max(0) * scale + 2 * pad + 1.0 for c in charts],
-            np.float32,
-        )
-        offsets = _skyline_pack(sizes, texture_size)
+        sizes, offsets = _try_pack(scale)
         if offsets is not None:
             break
         scale *= 0.85
@@ -340,6 +435,23 @@ def build_uv_atlas(
             f"atlas packing failed: {len(charts)} charts into "
             f"{texture_size}^2"
         )
+    # binary-refine the scale upward: between the feasible scale and
+    # either the last infeasible one (attempt > 0) or a 95%-fill cap
+    if attempt > 0:
+        hi = scale / 0.85
+    else:
+        hi = np.sqrt(0.95 * texture_size**2 / total_area)
+    lo = scale
+    refined = 0
+    for _ in range(scale_refine if hi > lo * 1.01 else 0):
+        mid = float(np.sqrt(lo * hi))
+        s2, o2 = _try_pack(mid)
+        if o2 is not None:
+            lo = scale = mid
+            sizes, offsets = s2, o2
+            refined += 1
+        else:
+            hi = mid
     padding = pad
 
     all_verts, all_faces, all_uv = [], [], []
@@ -358,6 +470,7 @@ def build_uv_atlas(
         "n_charts": len(charts),
         "scale": float(scale),
         "pack_retries": attempt,
+        "scale_refined": refined,
         # chart bounding rects (incl. padding) / atlas area — the
         # packer's own efficiency
         "rect_utilization": float(

@@ -37,7 +37,9 @@ def build_parser():
     p.add_argument("--max_hits", type=int, default=25)
     p.add_argument("--scale", type=float, default=1.5)
     p.add_argument("--kthr", type=float, default=0.01)
-    p.add_argument("--min_segment_size", type=int, default=20)
+    p.add_argument("--min_segment_size", type=int, default=None,
+                   help="Felzenszwalb merge floor in faces; default: "
+                        "adaptive ~1%% of the face count")
     p.add_argument("--prune_spiral_views", type=int, default=0,
                    help="extra spiral prune-coverage views per ring "
                         "(3 rings); the split-independent analog of the "

@@ -173,3 +173,29 @@ def test_ply_roundtrip(tmp_path):
     loaded = load_ply(p)
     np.testing.assert_allclose(loaded.vertices, mesh.vertices, rtol=1e-6)
     np.testing.assert_array_equal(loaded.faces, mesh.faces)
+
+
+def test_marching_tets_consistent_winding():
+    """Every emitted triangle's normal points away from the inside
+    (field > level) region — i.e. outward for an SDF sphere. The 6-tet
+    cube decomposition alternates handedness, so case-table orderings
+    alone emit ~random orientations (measured 56/44 before the
+    geometric orientation step), which scrambles every normal-based
+    consumer (UV fold-splitting, prune visibility)."""
+    n = 48
+    lin = np.linspace(-1, 1, n, dtype=np.float32)
+    g = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), -1)
+    sdf = 0.6 - np.linalg.norm(g, axis=-1)
+    spacing = np.full(3, 2.0 / (n - 1), np.float32)
+    verts, faces = marching_tetrahedra(
+        sdf, level=0.0, origin=[-1, -1, -1], spacing=spacing
+    )
+    fn = np.cross(
+        verts[faces[:, 1]] - verts[faces[:, 0]],
+        verts[faces[:, 2]] - verts[faces[:, 0]],
+    )
+    cen = verts[faces].mean(1)
+    outward = (fn * cen).sum(1)
+    area2 = np.linalg.norm(fn, axis=1)
+    keep = area2 > 1e-12  # slivers have no meaningful orientation
+    assert (outward[keep] > 0).mean() > 0.99

@@ -80,11 +80,21 @@ def test_sphere_single_segment_is_fold_split():
     from quadraturefields_tpu.baking.uvatlas import _face_normals
 
     normals = _face_normals(mesh)
+    v, f = mesh.vertices, mesh.faces
+    areas = 0.5 * np.linalg.norm(
+        np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]]),
+        axis=1,
+    )
     for lab in np.unique(segs):
-        n = normals[segs == lab]
+        sel = segs == lab
+        # zero-area faces rasterize to nothing and carry no weight in
+        # the area-weighted cone criterion; skip them here too
+        sel &= areas > 1e-12 * max(areas.max(), 1e-30)
+        n = normals[sel]
         if n.shape[0] <= 1:
             continue
-        mean = n.mean(0)
+        w = areas[sel]
+        mean = (n * w[:, None]).sum(0)
         mean /= max(np.linalg.norm(mean), 1e-12)
         assert (n @ mean).min() >= 0.5 - 1e-6
 
@@ -215,3 +225,62 @@ def test_atlas_stats_reported():
     assert 0.0 < stats["tri_utilization"] <= 1.0
     assert stats["rect_utilization"] >= stats["tri_utilization"]
     assert stats["n_charts"] >= 1
+
+
+def test_area_tolerant_split_ignores_sliver_outliers():
+    """A flat grid with a few zero-ish-area flipped slivers: the strict
+    splitter fragments on the outliers (one bad face fails a whole
+    segment), the area-tolerant mode keeps the macro chart whole. This
+    is the decimated-mesh regime: marching-tets + vertex clustering
+    leaves sliver faces whose normals are noise (see
+    tools/profiles/diag_atlas_sweep.py measurements)."""
+    n = 12
+    xs, ys = np.meshgrid(np.arange(n + 1), np.arange(n + 1),
+                         indexing="ij")
+    verts = np.stack(
+        [xs, ys, np.zeros_like(xs)], -1
+    ).reshape(-1, 3).astype(np.float32)
+
+    def vid(i, j):
+        return i * (n + 1) + j
+
+    faces = []
+    for i in range(n):
+        for j in range(n):
+            a, b = vid(i, j), vid(i, j + 1)
+            c, d = vid(i + 1, j), vid(i + 1, j + 1)
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    faces = np.asarray(faces, np.int32)
+    # tilt a handful of interior faces nearly vertical (normals far
+    # outside the cone) by raising one vertex; their area stays small
+    # relative to the grid
+    bumped = verts.copy()
+    for k in (vid(3, 3), vid(7, 5), vid(5, 9)):
+        bumped[k, 2] = 0.4
+    mesh = Mesh(bumped, faces)
+    segs0 = np.zeros((faces.shape[0],), np.int64)
+
+    strict = split_folded_segments(mesh, segs0, cos_thres=0.9)
+    tolerant = split_folded_segments(
+        mesh, segs0, cos_thres=0.9, area_tol=0.05
+    )
+    assert len(np.unique(tolerant)) < len(np.unique(strict))
+    assert len(np.unique(tolerant)) == 1
+
+
+def test_scale_refinement_grows_utilization():
+    """The retry-shrink loop lands at init_ratio * 0.85^(2k); the
+    binary refinement must claw back part of that factor without
+    breaking feasibility (offsets still pack)."""
+    mesh = _uv_sphere(16)
+    segs = np.zeros((mesh.faces.shape[0],), np.int64)
+    _, _, s_plain = build_uv_atlas(
+        mesh, segs, 256, padding=1.0, scale_refine=0
+    )
+    _, uv, s_ref = build_uv_atlas(
+        mesh, segs, 256, padding=1.0, scale_refine=4
+    )
+    assert s_ref["tri_utilization"] >= s_plain["tri_utilization"]
+    # refined packing must still be in-bounds
+    assert uv.min() >= 0.0 and uv.max() <= 256.0
