@@ -98,7 +98,8 @@ def occ_grid_update(
     all_idx = jnp.arange(n_cells, dtype=jnp.int32)
 
     def eval_part(part_id):
-        idx = jax.lax.dynamic_slice(all_idx, (part_id * part,), (part,))
+        start = part_id * part
+        idx = jax.lax.dynamic_slice(all_idx, (start,), (part,))
         if contract_aabb is None:
             x = _cell_positions(state.aabb, res, idx, key)
         else:
@@ -115,23 +116,33 @@ def occ_grid_update(
         return idx, occ
 
     if cfg.partitions == 1:
-        idx, occ = eval_part(jnp.int32(0))
+        _, occ = eval_part(jnp.int32(0))
         new_occs = jnp.maximum(state.occs * cfg.ema_decay, occ)
     else:
+        # partitions tile the flat grid contiguously in order, so both
+        # branches are slice updates — no scatter (an .at[idx] update on
+        # 524k contiguous cells lowered to two full scatters per refresh)
         def full_update(_):
             # warmup: evaluate every partition this update
-            occs = state.occs * cfg.ema_decay
-            for p in range(cfg.partitions):
-                idx, occ = eval_part(jnp.int32(p))
-                occs = occs.at[idx].max(occ)
-            return occs
+            occ_parts = [
+                eval_part(jnp.int32(p))[1] for p in range(cfg.partitions)
+            ]
+            upd = jnp.concatenate(occ_parts)
+            if upd.shape[0] < n_cells:  # non-divisible tail: never updated
+                upd = jnp.pad(upd, (0, n_cells - upd.shape[0]))
+            return jnp.maximum(state.occs * cfg.ema_decay, upd)
 
         def partial_update(_):
-            idx, occ = eval_part(
-                (update_idx % cfg.partitions).astype(jnp.int32)
+            part_id = (update_idx % cfg.partitions).astype(jnp.int32)
+            _, occ = eval_part(part_id)
+            cur = jax.lax.dynamic_slice(
+                state.occs, (part_id * part,), (part,)
             )
-            occs = state.occs.at[idx].multiply(cfg.ema_decay)
-            return occs.at[idx].max(occ)
+            return jax.lax.dynamic_update_slice(
+                state.occs,
+                jnp.maximum(cur * cfg.ema_decay, occ),
+                (part_id * part,),
+            )
 
         new_occs = jax.lax.cond(in_warmup, full_update, partial_update, None)
 
