@@ -39,7 +39,7 @@ def build_parser():
                    help="hash-table layout (must match the upstream "
                         "checkpoint; hashgrid.py)")
     p.add_argument("--grad_payload", type=str, default="f32",
-                   choices=["f32", "bf16pair", "bf16sim"],
+                   choices=["f32", "bf16pair", "bf16sim", "bf16factor"],
                    help="cell table-gradient precision (hashgrid.py)")
     return p
 

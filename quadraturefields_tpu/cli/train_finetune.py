@@ -43,7 +43,7 @@ def build_parser():
                    help="hash-table layout (must match the upstream "
                         "checkpoint; hashgrid.py)")
     p.add_argument("--grad_payload", type=str, default="f32",
-                   choices=["f32", "bf16pair", "bf16sim"],
+                   choices=["f32", "bf16pair", "bf16sim", "bf16factor"],
                    help="cell table-gradient precision (hashgrid.py)")
     p.add_argument("--pack_slack", type=float, default=1.25,
                    help="packed-hit stream budget as a multiple of the "

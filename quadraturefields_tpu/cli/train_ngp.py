@@ -46,7 +46,7 @@ def build_parser():
                    help="hash-table layout: corner = tcnn parity, "
                         "cell = one gather per level (hashgrid.py)")
     p.add_argument("--grad_payload", type=str, default="f32",
-                   choices=["f32", "bf16pair", "bf16sim"],
+                   choices=["f32", "bf16pair", "bf16sim", "bf16factor"],
                    help="cell-layout table-gradient contribution "
                         "precision (hashgrid.py)")
     p.add_argument("--n_levels", type=int, default=16,

@@ -81,10 +81,14 @@ class HashGridConfig:
     #              here counts ROWS, so pass log2_T(corner) - 3.
     layout: str = "corner"
     # Table-gradient contribution precision (cell layout + sorted mode
-    # only): "f32" = exact contributions through a 17-operand sort;
-    # "bf16pair" = per-corner feature pairs packed as one u32 of two
-    # bf16s through a 9-operand sort (~1.6x cheaper; accumulation
-    # stays f32 — the regime tcnn's fp16 atomics already accept).
+    # only): "f32" = exact contributions through a (1 + 4F)-operand
+    # sort; "bf16pair" = per-corner feature pairs packed as one u32 of
+    # two bf16s, halving the sort payload (accumulation stays f32 —
+    # the regime tcnn's fp16 atomics already accept); "bf16factor"
+    # (interp="tet" only, else falls back to the f32 row path) =
+    # carry only the contribution FACTORS (4 Kuhn weights + F upstream
+    # grads, bf16-packed) through a (3 + F/2)-operand sort and
+    # recompute the products in the Pallas kernel.
     grad_payload: str = "f32"
 
     @property
@@ -353,6 +357,47 @@ def _cell_indices_weights(x, cfg: HashGridConfig):
     )
 
 
+def _cell_tet_sparse(x, cfg: HashGridConfig):
+    """Sparse Kuhn-simplex data per (point, level) for the factorized
+    backward: weights wk [N, L, 4] (corner order 0, c1, c2, 7) and the
+    two dynamic corner slot ids s1, s2 [N, L] (each in 1..6; slots 0
+    and 7 are static). Mirrors _cell_indices_weights' tet branch."""
+    compute_dtype = jnp.float32
+    n = x.shape[0]
+    wk_all, s1_all, s2_all = [], [], []
+    for l in range(cfg.n_levels):
+        pos = x.astype(compute_dtype) * jnp.asarray(
+            cfg.level_scales[l], compute_dtype
+        ) + 0.5
+        base = jnp.floor(pos).astype(jnp.int32)
+        res = cfg.level_resolutions[l]
+        n_axis = res - 1
+        cell = jnp.clip(base, 0, n_axis - 1)
+        frac = pos - cell.astype(compute_dtype)
+        ff = jnp.clip(frac, 0.0, 1.0)
+        fx, fy, fz = ff[:, 0], ff[:, 1], ff[:, 2]
+        rx = (fy > fx).astype(jnp.int32) + (fz > fx).astype(jnp.int32)
+        ry = (fx >= fy).astype(jnp.int32) + (fz > fy).astype(jnp.int32)
+        rz = (fx >= fz).astype(jnp.int32) + (fy >= fz).astype(jnp.int32)
+        r = jnp.stack([rx, ry, rz], axis=1)
+        e_first = (r == 0).astype(jnp.int32)
+        e_second = (r == 1).astype(jnp.int32)
+        f1 = jnp.sum(jnp.where(r == 0, ff, 0.0), axis=1)
+        f2 = jnp.sum(jnp.where(r == 1, ff, 0.0), axis=1)
+        f3 = jnp.sum(jnp.where(r == 2, ff, 0.0), axis=1)
+        wk = jnp.stack([1.0 - f1, f1 - f2, f2 - f3, f3], axis=1)
+        c1 = e_first
+        c2 = e_first + e_second
+        wk_all.append(wk[:, None, :])
+        s1_all.append((c1[:, 0] * 4 + c1[:, 1] * 2 + c1[:, 2])[:, None])
+        s2_all.append((c2[:, 0] * 4 + c2[:, 1] * 2 + c2[:, 2])[:, None])
+    return (
+        jnp.concatenate(wk_all, axis=1),             # [N, L, 4]
+        jnp.concatenate(s1_all, axis=1),             # [N, L]
+        jnp.concatenate(s2_all, axis=1),             # [N, L]
+    )
+
+
 def _cell_fwd_impl(table, x, cfg: HashGridConfig):
     x = jnp.clip(x, 0.0, 1.0)
     n = x.shape[0]
@@ -380,7 +425,26 @@ def _cell_bwd(cfg: HashGridConfig, saved, g):
     if mode == "auto":
         on_accel = jax.default_backend() != "cpu"
         mode = "sorted" if on_accel else "exact"
-    if mode == "sorted" and cfg.grad_payload == "bf16pair" and F % 2 == 0:
+    if (mode == "sorted" and cfg.grad_payload == "bf16factor"
+            and cfg.interp == "tet" and F % 2 == 0):
+        # factorized payload: carry the 4 Kuhn weights + F upstream
+        # gradient values (bf16-packed u32 pairs) through a (3 + F/2)-
+        # operand sort — 5 ops at F=4 vs bf16pair's 17 — and recompute
+        # the 8F outer-product values inside the Pallas kernel (the two
+        # dynamic corner slots ride in the key's low 6 bits). Same
+        # per-contribution bf16 precision regime as bf16pair.
+        from .hashgrid_sorted import sorted_tet_factor_grad
+
+        wk, s1, s2 = _cell_tet_sparse(x, cfg)
+        d_table = sorted_tet_factor_grad(
+            flat_idx,
+            wk.reshape(n * L, 4),
+            s1.reshape(-1),
+            s2.reshape(-1),
+            g32.reshape(n * L, F),
+            cfg.total_entries,
+        ).astype(table_dtype)
+    elif mode == "sorted" and cfg.grad_payload == "bf16pair" and F % 2 == 0:
         # feature-pair path: consecutive feature contributions packed
         # as one u32 of two bf16s through a (1 + 4F)-operand sort —
         # halves sort payload + kernel DMA bytes (sort17-f32 60.8 vs

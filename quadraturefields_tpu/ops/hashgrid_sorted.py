@@ -298,6 +298,273 @@ def _row_acc_kernel_pair(
     odd_ref[:] = odd_ref[:] + acc_o
 
 
+def _row_acc_kernel_factor(
+    win_ref, slice_ref, keys_t_ref, keys_q_ref, vals_ref,
+    even_ref, odd_ref, *, f_half: int, pay_w: int, j_tile: int,
+    window: int,
+):
+    """Factorized-payload variant of _row_acc_kernel_pair (tet interp):
+    the sort carries each contribution's FACTORS — 4 Kuhn-simplex
+    weights (2 packed-bf16 u32 lanes) and the F upstream gradient
+    values (F/2 u32 lanes) — instead of the 8*F outer-product values,
+    and this kernel recomputes the products in VMEM. The two dynamic
+    tet corner slots ride in the key's low 6 bits (key = entry<<6 |
+    c1<<3 | c2; slots 0 and 7 are static), so sort order by entry is
+    unchanged. Cuts the backward sort from 1+4F to 3+F/2 u32 operands
+    (17 -> 5 at F=4) and the vals DMA by 4x.
+
+    Plane layout matches _row_acc_kernel_pair: entry e's block is
+    8*f_half lanes at block e % epr; block lane k = corner*f_half + p;
+    even plane carries feature 2p, odd feature 2p+1.
+    """
+    i = pl.program_id(0)
+    prev = win_ref[jnp.maximum(i - 1, 0)]
+    is_new = (i == 0) | (win_ref[i] != prev)
+
+    @pl.when(is_new)
+    def _():
+        even_ref[:] = jnp.zeros_like(even_ref)
+        odd_ref[:] = jnp.zeros_like(odd_ref)
+
+    pw_plane = 8 * f_half                         # lanes per entry block
+    spr = LANES // pay_w                          # contributions per row
+    epr = LANES // pw_plane                       # entries per plane row
+    q = j_tile // spr
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (window, q), 0)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (q, LANES), 1)
+    k_in_block = lane_iota % pw_plane
+    c_lane = k_in_block // f_half                 # corner slot per lane
+    p_lane = k_in_block % f_half                  # feature pair per lane
+    block_lane = lane_iota // pw_plane
+    win_row0 = win_ref[i] * window
+    dn = (((1,), (0,)), ((), ()))
+
+    def unpack_lo(v):
+        return jax.lax.bitcast_convert_type(v << 16, jnp.float32)
+
+    def unpack_hi(v):
+        return jax.lax.bitcast_convert_type(
+            v & jnp.uint32(0xFFFF0000), jnp.float32
+        )
+
+    acc_e = jnp.zeros((window, LANES), jnp.float32)
+    acc_o = jnp.zeros((window, LANES), jnp.float32)
+    for s in range(spr):
+        kt = keys_t_ref[s:s + 1, :].astype(jnp.int32)      # [1, Q]
+        rel = (kt >> 6) // epr - win_row0
+        A = (row_iota == rel).astype(jnp.bfloat16)         # [window, Q]
+        kq = keys_q_ref[:, s:s + 1].astype(jnp.int32)      # [Q, 1]
+        ke = kq >> 6
+        c1 = (kq >> 3) & 7
+        c2 = kq & 7
+        base = s * pay_w
+        w01 = vals_ref[:, base:base + 1]                   # [Q, 1] u32
+        w23 = vals_ref[:, base + 1:base + 2]
+        w_sel = (
+            jnp.where(c_lane == 0, unpack_lo(w01), 0.0)
+            + jnp.where(c_lane == c1, unpack_hi(w01), 0.0)
+            + jnp.where(c_lane == c2, unpack_lo(w23), 0.0)
+            + jnp.where(c_lane == 7, unpack_hi(w23), 0.0)
+        )                                                  # [Q, 128]
+        g_even = jnp.zeros((q, LANES), jnp.float32)
+        g_odd = jnp.zeros((q, LANES), jnp.float32)
+        for j in range(f_half):
+            gp = vals_ref[:, base + 2 + j:base + 3 + j]
+            g_even = g_even + jnp.where(p_lane == j, unpack_lo(gp), 0.0)
+            g_odd = g_odd + jnp.where(p_lane == j, unpack_hi(gp), 0.0)
+        blockm = block_lane == ke % epr
+        D_lo = jnp.where(blockm, w_sel * g_even, 0.0).astype(jnp.bfloat16)
+        D_hi = jnp.where(blockm, w_sel * g_odd, 0.0).astype(jnp.bfloat16)
+        acc_e = acc_e + jax.lax.dot_general(
+            A, D_lo, dn, preferred_element_type=jnp.float32,
+        )
+        acc_o = acc_o + jax.lax.dot_general(
+            A, D_hi, dn, preferred_element_type=jnp.float32,
+        )
+    even_ref[:] = even_ref[:] + acc_e
+    odd_ref[:] = odd_ref[:] + acc_o
+
+
+def sorted_tet_factor_grad(idx, wk, c1, c2, g, total_entries: int, *,
+                           window: int = W, force_kernel: bool = False):
+    """Segment-sum tet-interp cell-row contributions into a
+    [total_entries, 8*F] table gradient, carrying only the contribution
+    FACTORS through the sort (grad_payload="bf16factor").
+
+    idx: [M] entry ids; wk: [M, 4] Kuhn weights (corner order 0, c1,
+    c2, 7); c1, c2: [M] the two dynamic corner slot ids (1..6); g:
+    [M, F] upstream feature gradients, F even. Each factor rounds to
+    bf16 and the product rounds to bf16 before f32 MXU accumulation —
+    the same per-contribution precision regime as grad_payload=
+    "bf16pair" (tcnn accumulates fp16 atomics upstream)."""
+    m, F = g.shape
+    assert F % 2 == 0
+    f_half = F // 2
+    pw_plane = 8 * f_half
+    assert pw_plane * 2 <= LANES and LANES % pw_plane == 0
+    n_real = 2 + f_half                            # payload u32 lanes
+    pay_w = n_real
+    while LANES % pay_w:
+        pay_w += 1
+    spr = LANES // pay_w
+    q = 128
+    J = q * spr
+    epr = LANES // pw_plane
+    tot_rows = -(-total_entries // epr)
+    n_blocks = -(-tot_rows // window)
+    rows_pad = n_blocks * window
+    # key = entry<<6 | c1<<3 | c2 — must fit u32 incl. the sentinel
+    assert (rows_pad + window) * epr < (1 << 26), total_entries
+
+    def pack(a, b):
+        a16 = jax.lax.bitcast_convert_type(
+            a.astype(jnp.bfloat16), jnp.uint16
+        ).astype(jnp.uint32)
+        b16 = jax.lax.bitcast_convert_type(
+            b.astype(jnp.bfloat16), jnp.uint16
+        ).astype(jnp.uint32)
+        return a16 | (b16 << 16)
+
+    key = (
+        (idx.astype(jnp.uint32) << 6)
+        | (c1.astype(jnp.uint32) << 3)
+        | c2.astype(jnp.uint32)
+    )
+    payload = [pack(wk[:, 0], wk[:, 1]), pack(wk[:, 2], wk[:, 3])]
+    for j in range(f_half):
+        payload.append(pack(g[:, 2 * j], g[:, 2 * j + 1]))
+
+    pad = (-m) % J
+    if pad:
+        sentinel = jnp.uint32((rows_pad + window) * epr) << 6
+        key = jnp.concatenate([key, jnp.full((pad,), sentinel, jnp.uint32)])
+        payload = [
+            jnp.concatenate([p, jnp.zeros((pad,), jnp.uint32)])
+            for p in payload
+        ]
+    sorted_ops = jax.lax.sort((key,) + tuple(payload), num_keys=1)
+    keys = sorted_ops[0]
+    cols = list(sorted_ops[1:])
+    while len(cols) < pay_w:                       # dead lanes (F=2 case)
+        cols.append(jnp.zeros_like(cols[0]))
+    svals = jnp.stack(cols, axis=-1)               # [mm, pay_w] u32
+    mm = keys.shape[0]
+
+    if _use_interpret() and not force_kernel:
+        # CPU backend: reconstruct the bf16-rounded products and use a
+        # plain segment-sum (the unrolled interpret kernel is orders
+        # slower; grad_mode "auto" resolves off the sorted path on CPU
+        # anyway — this branch serves the parity tests). force_kernel
+        # runs the real Pallas kernel in interpret mode (kernel tests).
+        return _factor_grad_reference(
+            keys, svals, total_entries, F=F, pw_plane=pw_plane
+        )
+
+    n_tiles = mm // J
+    first_rows = (keys[::J].astype(jnp.int32) >> 6) // epr
+    window_ids, slice_ids = _merge_path(
+        first_rows, n_tiles, n_blocks, window
+    )
+    grid = n_tiles + n_blocks - 1
+    keys_q = keys.reshape(mm // spr, spr)
+    keys_t = keys_q.T
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((spr, q), lambda i, w, s: (0, s[i])),
+            pl.BlockSpec((q, spr), lambda i, w, s: (s[i], 0)),
+            pl.BlockSpec((q, LANES), lambda i, w, s: (s[i], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((window, LANES), lambda i, w, s: (w[i], 0)),
+            pl.BlockSpec((window, LANES), lambda i, w, s: (w[i], 0)),
+        ],
+    )
+    even, odd = pl.pallas_call(
+        functools.partial(
+            _row_acc_kernel_factor, f_half=f_half, pay_w=pay_w,
+            j_tile=J, window=window,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows_pad, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows_pad, LANES), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+    )(
+        window_ids,
+        slice_ids,
+        keys_t,
+        keys_q,
+        svals.reshape(mm // spr, LANES),
+    )
+    return _interleave_planes(even, odd, total_entries, pw_plane)
+
+
+def _factor_grad_reference(keys, svals, total_entries: int, *, F: int,
+                           pw_plane: int):
+    """XLA reference of the factor kernel's math (bit-identical modulo
+    f32 summation order): unpack factors, rebuild bf16-rounded products,
+    segment-sum. Used on the CPU backend and by the parity tests."""
+    f_half = F // 2
+
+    def lo(v):
+        return jax.lax.bitcast_convert_type(v << 16, jnp.float32)
+
+    def hi(v):
+        return jax.lax.bitcast_convert_type(
+            v & jnp.uint32(0xFFFF0000), jnp.float32
+        )
+
+    e = (keys >> 6).astype(jnp.int32)
+    c1 = ((keys >> 3) & 7).astype(jnp.int32)
+    c2 = (keys & 7).astype(jnp.int32)
+    w4 = jnp.stack(
+        [lo(svals[:, 0]), hi(svals[:, 0]),
+         lo(svals[:, 1]), hi(svals[:, 1])], axis=1,
+    )                                              # [mm, 4]
+    slots = jnp.stack(
+        [jnp.zeros_like(c1), c1, c2, jnp.full_like(c1, 7)], axis=1
+    )                                              # [mm, 4]
+    w8 = jnp.sum(
+        jnp.where(
+            slots[:, :, None] == jnp.arange(8, dtype=jnp.int32),
+            w4[:, :, None], 0.0,
+        ),
+        axis=1,
+    )                                              # [mm, 8]
+    gs = []
+    for j in range(f_half):
+        gs.append(lo(svals[:, 2 + j]))
+        gs.append(hi(svals[:, 2 + j]))
+    gF = jnp.stack(gs, axis=1)                     # [mm, F]
+    contrib = (
+        jnp.repeat(w8, F, axis=1) * jnp.tile(gF, (1, 8))
+    ).astype(jnp.bfloat16).astype(jnp.float32)     # [mm, 8F]
+    valid = e < total_entries
+    seg = jax.ops.segment_sum(
+        jnp.where(valid[:, None], contrib, 0.0),
+        jnp.clip(e, 0, total_entries - 1),
+        num_segments=total_entries,
+        indices_are_sorted=True,
+    )
+    return seg
+
+
+def _interleave_planes(even, odd, total_entries: int, pw: int):
+    """[rows_pad, LANES] even/odd feature planes -> [total_entries,
+    2*pw] rows via planar strided columns (no row-major reshape temp;
+    see _deinterleave_rows)."""
+    ev_flat = even.reshape(-1)[: total_entries * pw]
+    od_flat = odd.reshape(-1)[: total_entries * pw]
+    cols = []
+    for j in range(pw):
+        cols.append(ev_flat[j::pw])
+        cols.append(od_flat[j::pw])
+    return jnp.stack(cols, axis=0).T
+
+
 def sorted_pair_grad(idx, lo, hi, total_entries: int, *,
                      window: int = W):
     """Segment-sum [M, 8]-wide (lo, hi) feature-pair contributions into
@@ -401,13 +668,7 @@ def _pair_accumulate(keys, svals, total_entries: int, *, pw: int,
     # interleave feature planes back to row[c*2 + f]: planar strided
     # columns stacked [2pw, E] then transposed — avoids the row-major
     # [E, pw] reshape temp (see _deinterleave_rows)
-    ev_flat = even.reshape(-1)[: total_entries * pw]
-    od_flat = odd.reshape(-1)[: total_entries * pw]
-    cols = []
-    for j in range(pw):
-        cols.append(ev_flat[j::pw])
-        cols.append(od_flat[j::pw])
-    return jnp.stack(cols, axis=0).T
+    return _interleave_planes(even, odd, total_entries, pw)
 
 
 def sorted_row_grad(idx, vals, total_entries: int, *,

@@ -302,3 +302,102 @@ def test_cell_f4_bf16pair_close_to_f32():
     err = float(jnp.max(jnp.abs(g_pair - g_f32)))
     scale = float(jnp.max(jnp.abs(g_f32))) + 1e-9
     assert err / scale < 1.5e-2, (err, scale)
+
+
+@pytest.mark.parametrize("m,total_entries,F", [
+    (4096, 1000, 4), (9999, 257, 2),
+])
+def test_sorted_tet_factor_grad_matches_numpy(m, total_entries, F):
+    """Factorized payload path: equals a numpy segment-sum of the
+    bf16(bf16(w) * bf16(g)) products placed at the tet corner slots."""
+    import ml_dtypes
+    from quadraturefields_tpu.ops.hashgrid_sorted import (
+        sorted_tet_factor_grad,
+    )
+
+    rng = np.random.default_rng(m)
+    idx = rng.integers(0, total_entries, m).astype(np.int32)
+    wk = rng.normal(0, 1, (m, 4)).astype(np.float32)
+    c1 = rng.integers(1, 7, m).astype(np.int32)
+    # c2 distinct from c1 (as the Kuhn construction guarantees)
+    c2 = ((c1 - 1 + rng.integers(1, 6, m)) % 6 + 1).astype(np.int32)
+    assert (c1 != c2).all()
+    g = rng.normal(0, 1, (m, F)).astype(np.float32)
+    got = np.asarray(sorted_tet_factor_grad(
+        jnp.asarray(idx), jnp.asarray(wk), jnp.asarray(c1),
+        jnp.asarray(c2), jnp.asarray(g), total_entries,
+    ))
+    assert got.shape == (total_entries, 8 * F)
+    bf = lambda a: a.astype(ml_dtypes.bfloat16).astype(np.float32)
+    wkb, gb = bf(wk), bf(g)
+    slots = np.stack(
+        [np.zeros(m, np.int32), c1, c2, np.full(m, 7, np.int32)], axis=1
+    )
+    want = np.zeros((total_entries, 8 * F), np.float64)
+    for t in range(4):
+        for f in range(F):
+            np.add.at(
+                want[:, 0], 0 * idx, 0.0
+            )  # keep numpy happy on empty slices
+            col = slots[:, t] * F + f
+            vals = bf(wkb[:, t] * gb[:, f]).astype(np.float64)
+            np.add.at(want, (idx, col), vals)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("F", [2, 4])
+def test_cell_tet_bf16factor_close_to_f32(F):
+    """End-to-end cell/tet backward with grad_payload=bf16factor stays
+    within bf16 rounding of the exact-f32 table gradient."""
+    import dataclasses as dc
+
+    cfg = HashGridConfig(
+        n_levels=4, n_features=F, log2_hashmap_size=9,
+        base_resolution=4, per_level_scale=1.6, layout="cell",
+        interp="tet", grad_mode="sorted", grad_payload="bf16factor",
+    )
+    cfg_f32 = dc.replace(cfg, grad_payload="f32")
+    key = jax.random.PRNGKey(0)
+    table = hashgrid_init(key, cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (512, 3))
+
+    def loss(t, c):
+        return jnp.sum(jnp.sin(hashgrid_encode(t, x, c)))
+
+    g_fac = jax.grad(lambda t: loss(t, cfg))(table)
+    g_f32 = jax.grad(lambda t: loss(t, cfg_f32))(table)
+    err = float(jnp.max(jnp.abs(g_fac - g_f32)))
+    scale = float(jnp.max(jnp.abs(g_f32))) + 1e-9
+    assert err / scale < 1.5e-2, (err, scale)
+    # dL/dx is payload-independent (computed from the dense weights)
+    dx_fac = jax.grad(
+        lambda xx: jnp.sum(jnp.sin(hashgrid_encode(table, xx, cfg)))
+    )(x)
+    dx_f32 = jax.grad(
+        lambda xx: jnp.sum(jnp.sin(hashgrid_encode(table, xx, cfg_f32)))
+    )(x)
+    np.testing.assert_allclose(
+        np.asarray(dx_fac), np.asarray(dx_f32), rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("F", [2, 4])
+def test_factor_kernel_interpret_matches_reference(F):
+    """The real Pallas factor kernel (interpret mode, small shapes)
+    matches the XLA reference path bit-for-bit modulo f32 sum order."""
+    from quadraturefields_tpu.ops.hashgrid_sorted import (
+        sorted_tet_factor_grad,
+    )
+
+    m, total_entries = 700, 300
+    rng = np.random.default_rng(F)
+    idx = rng.integers(0, total_entries, m).astype(np.int32)
+    wk = rng.normal(0, 1, (m, 4)).astype(np.float32)
+    c1 = rng.integers(1, 7, m).astype(np.int32)
+    c2 = ((c1 - 1 + rng.integers(1, 6, m)) % 6 + 1).astype(np.int32)
+    g = rng.normal(0, 1, (m, F)).astype(np.float32)
+    args = (jnp.asarray(idx), jnp.asarray(wk), jnp.asarray(c1),
+            jnp.asarray(c2), jnp.asarray(g), total_entries)
+    ref = np.asarray(sorted_tet_factor_grad(*args))
+    ker = np.asarray(sorted_tet_factor_grad(*args, force_kernel=True))
+    np.testing.assert_allclose(ker, ref, rtol=2e-5, atol=2e-5)
