@@ -56,6 +56,13 @@ VARIANTS = [
     ("cell_l8f4_pair", dict(interp="tet", layout="cell",
                             n_levels=8, n_features=4,
                             grad_payload="bf16pair")),
+    # factorized payload (5-operand sort + product-recompute kernel);
+    # grad_mode forced so the CPU run exercises the sorted path's
+    # bf16(w)*bf16(g) reference math too
+    ("cell_l8f4_factor", dict(interp="tet", layout="cell",
+                              n_levels=8, n_features=4,
+                              grad_mode="sorted",
+                              grad_payload="bf16factor")),
 ]
 
 
