@@ -11,11 +11,14 @@ eval) so the refresh's absolute cost is a recorded number.
 
 Run on an idle chip: python tools/profiles/profile_refresh.py
 """
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, "/root/repo")
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/qf_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
@@ -56,6 +59,7 @@ def main():
     r = occ_update(params, occ_state, jnp.int32(512), key)
     float(r.occs[0])
 
+    meds = {}
     for name, step0 in (("partial", 512), ("warmup_full", 0)):
         times = []
         for w in range(3):
@@ -66,11 +70,11 @@ def main():
                 )
             float(r.occs[0])
             times.append((time.perf_counter() - t0) / 8)
-        print(f"{name}: {1e3 * np.median(times):.2f} ms/refresh "
+        meds[name] = float(np.median(times))
+        print(f"{name}: {1e3 * meds[name]:.2f} ms/refresh "
               f"(windows {[round(1e3 * t, 1) for t in times]})")
-    print("amortized over update_interval=16: "
-          f"{1e3 * np.median(times) / 16:.2f} ms/step (partial printed "
-          "above is the production regime)")
+    print("production regime (partial) amortized over "
+          f"update_interval=16: {1e3 * meds['partial'] / 16:.2f} ms/step")
 
 
 if __name__ == "__main__":
