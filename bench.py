@@ -657,13 +657,14 @@ def main():
     early.daemon = True
     early.start()
 
-    # primary metric: the cell-layout L=8/F=4 bf16-pair encoding (the
-    # round-3 TPU-fast headline config — quality-gated at delta 0.013 dB
-    # vs the exact corner path at 600 equal fixture steps and 0.001-
-    # 0.004 dB at 1500-step convergence, BASELINE.md); corner
-    # (tcnn-parity) reported as an extra
+    # primary metric: the cell-layout L=8/F=4 bf16-factor encoding (the
+    # round-3 TPU-fast headline config — factorized 5-operand backward
+    # sort, quality-gated at delta +0.017 dB vs the exact corner path
+    # at 600 equal fixture steps; the bf16pair sibling gates at 0.013
+    # dB at 600 steps / 0.001-0.004 dB at 1500-step convergence,
+    # BASELINE.md); corner (tcnn-parity) reported as an extra
     samples_per_sec, s1_windows = bench_stage1(
-        layout="cell", grad_payload="bf16pair", n_levels=8, n_features=4
+        layout="cell", grad_payload="bf16factor", n_levels=8, n_features=4
     )
     early.cancel()
     try:

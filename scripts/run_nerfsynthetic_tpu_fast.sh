@@ -14,5 +14,5 @@ python -m quadraturefields_tpu.cli.train_ngp \
   --exp_name nerf --num_lobes 0 --num_layers 2 \
   --log2_hashmap_size 19 --batch_size 20 --scale 1.5 \
   --max_steps 20000 --reg_type occ --occ_thres 0.01 \
-  --layout cell --grad_payload bf16pair
+  --layout cell --grad_payload bf16factor
 done
