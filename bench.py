@@ -55,7 +55,8 @@ TARGET_MULTIPLIER = 2.0
 
 
 def bench_stage1(layout: str = "corner", grad_payload: str = "f32",
-                 n_levels: int = 16, n_features: int = 2):
+                 n_levels: int = 16, n_features: int = 2,
+                 samples_log2: int = 18):
     import jax
     import jax.numpy as jnp
     import optax
@@ -91,7 +92,7 @@ def bench_stage1(layout: str = "corner", grad_payload: str = "f32",
     rcfg = RenderConfig(
         render_step_size=step_size,
         max_steps=max_march_steps(np.asarray(aabb), step_size),
-        max_samples_total=1 << 18,
+        max_samples_total=1 << samples_log2,
         coarse_factor=4,
         coarse_stride=stride,
         coarse_dilation=dil,
@@ -118,7 +119,10 @@ def bench_stage1(layout: str = "corner", grad_payload: str = "f32",
         occs=jnp.asarray(occs), binaries=jnp.asarray(binaries)
     )
 
-    n_rays = 8192  # ~2^18 / 32 samples per ray in the occupied regime
+    # ~32 samples per ray in the occupied regime; scale rays with the
+    # sample budget (the reference contract targets 2^20 samples/step,
+    # script/run_nerfsynthetic.sh:15-16)
+    n_rays = 1 << (samples_log2 - 5)
     rng = np.random.default_rng(0)
 
     def make_batch():
@@ -663,8 +667,14 @@ def main():
     # at 600 equal fixture steps; the bf16pair sibling gates at 0.013
     # dB at 600 steps / 0.001-0.004 dB at 1500-step convergence,
     # BASELINE.md); corner (tcnn-parity) reported as an extra
+    # 2^20 samples/step is the reference contract for nerf-synthetic
+    # (script/run_nerfsynthetic.sh:15-16 target_sample_batch_size);
+    # it also amortizes the ~15 ms fixed adam/donation glue — measured
+    # ladder 2^18/19/20 = 1.57/2.13/2.52M samples/s all-in
+    # (tools/profiles/bench_batch.py, 2026-08-20)
     samples_per_sec, s1_windows = bench_stage1(
-        layout="cell", grad_payload="bf16factor", n_levels=8, n_features=4
+        layout="cell", grad_payload="bf16factor", n_levels=8,
+        n_features=4, samples_log2=20,
     )
     early.cancel()
     try:

@@ -51,11 +51,13 @@ from quadraturefields_tpu.utils.optim import make_ngp_optimizer
 
 L = int(sys.argv[1]) if len(sys.argv) > 2 else 8
 F = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+PAYLOAD = sys.argv[3] if len(sys.argv) > 3 else os.environ.get(
+    "QF_GLUE_PAYLOAD", "bf16factor")
 
 aabb = jnp.asarray([-1.5] * 3 + [1.5] * 3)
 ngp_cfg = NGPConfig(
     head="sg", num_g_lobes=2, log2_hashmap_size=19, interp="tet",
-    layout="cell", grad_payload="bf16pair", n_levels=L, n_features=F,
+    layout="cell", grad_payload=PAYLOAD, n_levels=L, n_features=F,
 )
 step_size = 5e-3
 max_steps = max_march_steps(np.asarray(aabb), step_size)
@@ -158,7 +160,7 @@ def march_only(occ_state, o, d):
     return ps.t_starts.sum()
 
 
-print(f"config: cell L={L} F={F} bf16pair, S=2^18", flush=True)
+print(f"config: cell L={L} F={F} {PAYLOAD}, S=2^18", flush=True)
 t_march = timeit("march", march_only, occ_state, o, d)
 t_fwd = timeit("fwd_only", jax.jit(loss_fn), params, occ_state, o, d,
                pix, key)
