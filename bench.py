@@ -6,12 +6,16 @@ Prints ONE JSON line:
    "extra": {...}}
 
 Primary metric: training samples/sec (field evaluations composited per
-second) for the stage-1 recipe at the reference's shipped scale (2^18
-target samples/step, 128^3 occupancy grid, 16x2^19 hash table, step
-5e-3). Baseline: the reference publishes no numbers (BASELINE.md); we
-use an estimated RTX-3090 nerfacc/tcnn throughput of 2.6e7 samples/s
-(~100 steps/s at 2^18) and report vs_baseline against the 2x-per-chip
-north-star target, i.e. vs_baseline = value / (2 * 2.6e7).
+second) for the stage-1 recipe at the reference's nerf-synthetic
+contract batch (2^20 target samples/step,
+script/run_nerfsynthetic.sh:15-16; 128^3 occupancy grid, step 5e-3).
+Baseline: the reference publishes no numbers (BASELINE.md); we use an
+estimated RTX-3090 nerfacc/tcnn throughput of 2.6e7 samples/s — an
+estimate anchored at ~100 steps/s at the 2^18 batch, while the
+measurement here runs at the 2^20 contract batch (larger batches
+amortize fixed step costs on both architectures) — and report
+vs_baseline against the 2x-per-chip north-star target, i.e.
+vs_baseline = value / (2 * 2.6e7).
 
 Extra metric: end-to-end frames/sec of the baked texture-only render
 path at 800x800 (the paper's real-time benchmark; reference
@@ -29,6 +33,7 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 import time
 
 import numpy as np
@@ -260,11 +265,39 @@ class _PooledLoader:
         pass
 
 
+def _stage45_loader(n_rays: int):
+    """Ray source for the stage-4/5 benches. Default: the precomputed
+    orbit pool (pure device/transport number). QF_BENCH_S45_FIXTURE=1
+    swaps in the real fixture SubjectLoader pinned at n_rays, so the
+    measured step includes the per-step host pixel-sampling/loader cost
+    the prefetcher must hide (VERDICT r3 #6 bench-fidelity knob; the
+    axon host core is throttled, so this mode reads lower)."""
+    if os.environ.get("QF_BENCH_S45_FIXTURE"):
+        from quadraturefields_tpu.data.fixture import write_fixture_dataset
+        from quadraturefields_tpu.data.nerf_synthetic import SubjectLoader
+
+        root = "/tmp/qf_bench_fixture"
+        marker = os.path.join(root, "fixture", "transforms_test.json")
+        if not os.path.exists(marker):
+            write_fixture_dataset(root, res=200, n_train=12, n_test=2)
+
+        loader = SubjectLoader(
+            subject_id="fixture", root_fp=root, split="train",
+            num_rays=n_rays, seed=0,
+        )
+        loader.update_num_rays = lambda n: None  # pin the jit shape
+        return loader
+    return _PooledLoader(_orbit_batches(n_rays))
+
+
 def bench_stage4(n_rays_log2: int = 17, n_iters: int = 8):
     """Stage-4 finetune step throughput at the reference hot-path shape
     (2^17 rays x 25 hits, reference utils.py:465-607 +
-    train_finetune.py:307-317), real trainer + HitPrefetcher, joint
-    (unfrozen) step. Returns (rays/s, hits/s, bvh_rays/s)."""
+    train_finetune.py:307-317), real trainer + HitPrefetcher (packed
+    12 B/hit host transport + device-resident face-vertex table), joint
+    (unfrozen) step, at the TPU-fast headline encoding (cell L8F4
+    bf16factor — for the RF, its volumetric twin, AND the deformation
+    field). Returns (rays/s, hits/s, bvh_rays/s)."""
     import jax
     import jax.numpy as jnp
 
@@ -284,9 +317,11 @@ def bench_stage4(n_rays_log2: int = 17, n_iters: int = 8):
         scene_type="synthetic", freeze_rf_steps=0,
         init_batch_size=n_rays, scale=1.0,
         batch_size_log2=n_rays_log2 + 2,
+        layout="cell", grad_payload="bf16factor",
+        n_levels=8, n_features=4,
     )
     verts, faces = _bumpy_sphere(200)
-    loader = _PooledLoader(_orbit_batches(n_rays))
+    loader = _stage45_loader(n_rays)
     key = jax.random.PRNGKey(0)
     ngp_params = ngp_init(key, cfg.ngp_config())
     res = cfg.grid_resolution
@@ -348,9 +383,11 @@ def bench_stage5(n_rays_log2: int = 17, n_iters: int = 8):
     cfg = Stage5Config(
         scene_type="synthetic", init_batch_size=n_rays, scale=1.0,
         batch_size_log2=n_rays_log2 + 2,  # cap > true demand (stage-4 note)
+        layout="cell", grad_payload="bf16factor",
+        n_levels=8, n_features=4,
     )
     verts, faces = _bumpy_sphere(200)
-    loader = _PooledLoader(_orbit_batches(n_rays))
+    loader = _stage45_loader(n_rays)
     key = jax.random.PRNGKey(0)
     teacher = ngp_init(key, cfg.teacher_config())
     res = cfg.grid_resolution
@@ -598,42 +635,50 @@ def bench_baked_fps():
     med = sorted(times)[len(times) // 2]
     assert img.shape[0] == H * W
 
-    # device-path FPS: hits pre-staged on device, frame rendered as the
-    # same two chunk calls (reusing the compiled shape) — what a
-    # host-attached v5e sees once the 1-core BVH and the dev-tunnel
-    # transfers are out of the picture (the reference hides its Embree
-    # cast in DataLoader workers the same way, train_finetune.py:307-317)
+    # device-path FPS: hits pre-staged on device, the WHOLE 800x800
+    # frame rendered as ONE dispatch — what a host-attached v5e sees
+    # once the 1-core BVH and the dev-tunnel transfers are out of the
+    # picture (the reference hides its Embree cast in DataLoader
+    # workers the same way, train_finetune.py:307-317). The round-3
+    # bench split the frame into the e2e path's two chunks and paid a
+    # per-dispatch tunnel round trip each (11.04 FPS driver-measured vs
+    # the 35.9 FPS the single-dispatch profile records —
+    # profiles/profile_baked.py); one dispatch/frame is both the faster
+    # AND the realistic serving shape.
     cam = views[0]
     origins, viewdirs = view_rays(cam)
     cam_dev = jnp.asarray(cam)
-    staged = []
-    for i in range(0, origins.shape[0], chunk):
-        o = origins[i:i + chunk]
-        tri_ids, ts, _, uvs = renderer.mesh_intersect.intersect_rows_uv(
-            o, viewdirs[i:i + chunk]
-        )
-        slots, ts_p, uv_p = renderer.pack_hits_uv(
-            tri_ids, ts, uvs,
-            cap=renderer._pack_cap(
-                o.shape[0], int((tri_ids >= 0).sum()), None
-            ),
-        )
-        staged.append((
-            jnp.float32(i),
-            jnp.asarray(slots), jnp.asarray(uv_p), jnp.asarray(ts_p),
-            o.shape[0],
-        ))
-    t0 = time.perf_counter()
+    n = origins.shape[0]
+    tri_ids, ts, _, uvs = renderer.mesh_intersect.intersect_rows_uv(
+        origins, viewdirs
+    )
+    slots, ts_p, uv_p = renderer.pack_hits_uv(
+        tri_ids, ts, uvs,
+        cap=renderer._pack_cap(n, int((tri_ids >= 0).sum()), None),
+    )
+    slots_d = jnp.asarray(slots)
+    uv_d = jnp.asarray(uv_p)
+    ts_d = jnp.asarray(ts_p)
+    # compile/warm the full-frame shape, synced via host transfer
+    rgb, _, _ = renderer._render_packed_uv_cam(
+        renderer.maps_packed, cam_dev, jnp.float32(0.0),
+        slots_d, uv_d, ts_d, n,
+        renderer.mesh_intersect.max_hits, W, focal,
+    )
+    float(jnp.sum(rgb))
     n_dev = 10
-    for _ in range(n_dev):
-        for start, slots, uv_p, ts_p, n_chunk in staged:
+    dev_windows = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_dev):
             rgb, _, _ = renderer._render_packed_uv_cam(
-                renderer.maps_packed, cam_dev, start,
-                slots, uv_p, ts_p, n_chunk,
+                renderer.maps_packed, cam_dev, jnp.float32(0.0),
+                slots_d, uv_d, ts_d, n,
                 renderer.mesh_intersect.max_hits, W, focal,
             )
-    float(jnp.sum(rgb))
-    device_fps = n_dev / (time.perf_counter() - t0)
+        float(jnp.sum(rgb))  # real synchronization (see module docstring)
+        dev_windows.append(time.perf_counter() - t0)
+    device_fps = n_dev / sorted(dev_windows)[1]
     return 1.0 / med, times, device_fps
 
 

@@ -655,6 +655,73 @@ void qf_bvh_intersect_uv(void* handle, const float* origins,
   }
 }
 
+// Packed multi-hit cast: casts like qf_bvh_intersect, then compacts the
+// valid hits (ray-major, depth-sorted within each ray — the stream
+// order render/quadrature.py's PackedHits expects) into cap-sized
+// outputs. slots = ray*max_hits + hit_index (pad n_rays*max_hits),
+// tri pad -1, t pad 0. Returns the TRUE total hit count; when it
+// exceeds cap the stream truncates (highest ray indices lose hits
+// first), matching pack_hit_rows' device semantics. This replaces
+// shipping dense [R, max_hits] rows (plus a [R, max_hits, 3, 3]
+// face-vertex gather) to the device: the host->device payload drops to
+// 12 bytes per ACTUAL hit (the reference instead moves its packed hit
+// stream CPU->GPU every step, train_finetune.py:307-317).
+int64_t qf_bvh_intersect_packed(void* handle, const float* origins,
+                                const float* dirs, int64_t n_rays,
+                                int32_t max_hits, int64_t cap,
+                                int32_t n_threads, int32_t* slots,
+                                int32_t* tri, float* t) {
+  BVH* bvh = (BVH*)handle;
+  std::vector<int32_t> dense_tri((size_t)n_rays * max_hits);
+  std::vector<float> dense_t((size_t)n_rays * max_hits);
+  std::vector<int32_t> counts((size_t)n_rays);
+  qf_bvh_intersect(handle, origins, dirs, n_rays, max_hits, n_threads,
+                   dense_tri.data(), dense_t.data(), counts.data());
+  (void)bvh;
+  // exclusive prefix of counts -> each ray's output offset
+  std::vector<int64_t> offs((size_t)n_rays + 1);
+  offs[0] = 0;
+  for (int64_t r = 0; r < n_rays; ++r) offs[r + 1] = offs[r] + counts[r];
+  int64_t total = offs[n_rays];
+  int64_t n_emit = std::min(total, cap);
+  if (n_threads <= 0)
+    n_threads = (int32_t)std::thread::hardware_concurrency();
+  n_threads = std::max(1, std::min((int)n_threads, 64));
+  std::atomic<int64_t> next(0);
+  const int64_t chunk = 4096;
+  auto worker = [&]() {
+    for (;;) {
+      int64_t start = next.fetch_add(chunk);
+      if (start >= n_rays) break;
+      int64_t end = std::min(n_rays, start + chunk);
+      for (int64_t r = start; r < end; ++r) {
+        int64_t o = offs[r];
+        if (o >= n_emit) break;
+        int32_t c = counts[r];
+        for (int32_t h = 0; h < c && o + h < n_emit; ++h) {
+          slots[o + h] = (int32_t)(r * max_hits + h);
+          tri[o + h] = dense_tri[(size_t)r * max_hits + h];
+          t[o + h] = dense_t[(size_t)r * max_hits + h];
+        }
+      }
+    }
+  };
+  if (n_threads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int i = 0; i < n_threads; ++i) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  int32_t pad_slot = (int32_t)(n_rays * max_hits);
+  for (int64_t i = n_emit; i < cap; ++i) {
+    slots[i] = pad_slot;
+    tri[i] = -1;
+    t[i] = 0.0f;
+  }
+  return total;
+}
+
 // marching tetrahedra
 void* qf_mc_run(const float* grid, int32_t nx, int32_t ny, int32_t nz,
                 float level, const float* origin, const float* spacing) {

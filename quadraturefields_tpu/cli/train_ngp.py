@@ -61,11 +61,22 @@ def build_parser():
                         "select the unbounded path, utils.py:37-45)")
     p.add_argument("--data_factor", type=int, default=4,
                    help="360 loader image downsample factor")
+    p.add_argument("--num_devices", type=int, default=0,
+                   help="ray-batch data parallelism over the first N "
+                        "devices (0/1 = single device; parallel/dp.py "
+                        "shard_map step + sharded occ refresh over a "
+                        "1-D mesh)")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.num_devices and args.num_devices > 1:
+        # join the jax.distributed cluster first when launched as one
+        # process of a multi-host job (env-gated no-op on one host)
+        from ..parallel.multihost import maybe_initialize_distributed
+
+        maybe_initialize_distributed()
     cfg = Stage1Config(
         interp=args.interp,
         grad_mode=args.grad_mode,
@@ -92,6 +103,7 @@ def main(argv=None):
         coarse_factor=args.coarse_factor,
         scene_type=args.scene_type,
         data_factor=args.data_factor,
+        num_devices=args.num_devices,
     )
     trainer = Stage1Trainer(cfg)
     metrics = trainer.train()

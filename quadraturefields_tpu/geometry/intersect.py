@@ -64,6 +64,17 @@ class MeshIntersection:
         valid = tri_ids >= 0
         return tri_ids, ts, valid
 
+    def intersect_packed(self, origins, viewdirs, cap: int):
+        """-> (slots [cap] i32, tri [cap] i32, ts [cap] f32, total):
+        valid hits compacted in C++ to the PackedHits stream layout
+        (render/quadrature.py) — 12 B per actual hit of host->device
+        transport instead of dense [R, max_hits] rows + a
+        [R, max_hits, 3, 3] face-vertex gather (which the device now
+        performs itself from its resident face-vertex table)."""
+        return self.bvh.intersect_packed(
+            origins, viewdirs, max_hits=self.max_hits, cap=cap
+        )
+
     def set_atlas_uv(self, uv_per_vertex):
         """Attach atlas UVs so intersect_rows_uv can emit per-hit texel
         coordinates from the cast itself (BVH.set_uv)."""
@@ -84,15 +95,34 @@ class MeshIntersection:
         tri = np.maximum(tri_ids, 0)
         return self.mesh.vertices[self.mesh.faces[tri]]
 
+    def face_vertices_table(self):
+        """[F, 3, 3] world vertices per face — uploaded once as the
+        device-resident table the packed-stream renderers gather from
+        (refreshed on update_vertices by the trainer)."""
+        return self.mesh.vertices[self.mesh.faces]
+
 
 class HitPrefetcher:
     """Overlaps host ray casting with the device step: a worker thread
-    keeps `depth` batches of (batch_dict, hits) ready."""
+    keeps `depth` batches of (batch_dict, hits) ready.
+
+    Two transport modes:
+      * dense (packed_cap=None): items are
+        (batch, tri_ids [R,H], ts [R,H], valid [R,H], fv [R,H,3,3]) —
+        the original layout, kept for the dense parity path and eval;
+      * packed (packed_cap=int): items are
+        (batch, slots [cap], tri [cap], ts [cap], total) — the C++
+        BVH compacts valid hits into the PackedHits stream layout, so
+        the device upload is 12 B/hit and the face-vertex gather
+        happens on device from the resident mesh table.
+    """
 
     def __init__(self, make_batch: Callable[[], dict],
-                 intersector: MeshIntersection, depth: int = 2):
+                 intersector: MeshIntersection, depth: int = 2,
+                 packed_cap: Optional[int] = None):
         self.make_batch = make_batch
         self.intersector = intersector
+        self.packed_cap = packed_cap
         self.q: queue.Queue = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
         self._pause = threading.Lock()
@@ -104,11 +134,20 @@ class HitPrefetcher:
             batch = self.make_batch()
             rays = batch["rays"]
             with self._pause:
-                tri_ids, ts, valid = self.intersector.intersect_rows(
-                    rays.origins, rays.viewdirs
-                )
-                fv = self.intersector.face_vertices(tri_ids)
-            item = (batch, tri_ids, ts, valid, fv)
+                if self.packed_cap is not None:
+                    slots, tri, ts, total = (
+                        self.intersector.intersect_packed(
+                            rays.origins, rays.viewdirs,
+                            cap=self.packed_cap,
+                        )
+                    )
+                    item = (batch, slots, tri, ts, total)
+                else:
+                    tri_ids, ts, valid = self.intersector.intersect_rows(
+                        rays.origins, rays.viewdirs
+                    )
+                    fv = self.intersector.face_vertices(tri_ids)
+                    item = (batch, tri_ids, ts, valid, fv)
             while not self._stop.is_set():
                 try:
                     self.q.put(item, timeout=0.5)

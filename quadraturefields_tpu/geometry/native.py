@@ -59,6 +59,12 @@ def _get_lib():
             ctypes.c_void_p, c_f32p, c_f32p, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, c_i32p, c_f32p, c_i32p,
         ]
+        lib.qf_bvh_intersect_packed.restype = ctypes.c_int64
+        lib.qf_bvh_intersect_packed.argtypes = [
+            ctypes.c_void_p, c_f32p, c_f32p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,
+            c_i32p, c_i32p, c_f32p,
+        ]
         lib.qf_bvh_set_uv.argtypes = [ctypes.c_void_p, c_f32p]
         lib.qf_bvh_intersect_uv.argtypes = [
             ctypes.c_void_p, c_f32p, c_f32p, ctypes.c_int64,
@@ -147,6 +153,27 @@ class BVH:
             self.n_threads, _i32p(tri_ids), _f32p(ts), _i32p(counts),
         )
         return tri_ids, ts, counts
+
+    def intersect_packed(self, origins, viewdirs, max_hits: int = 25,
+                         cap: int = 1 << 17):
+        """Packed multi-hit cast: (slots [cap] i32, tri [cap] i32,
+        ts [cap] f32, total int) — valid hits compacted ray-major /
+        depth-sorted in C++, 12 B per actual hit instead of dense
+        [R, max_hits] rows. slots = ray*max_hits + k, pad R*max_hits;
+        tri pad -1. `total` is the TRUE hit count (may exceed cap —
+        then the tail rays' hits truncate, matching the device
+        pack_hit_rows semantics)."""
+        origins = np.ascontiguousarray(origins, np.float32)
+        viewdirs = np.ascontiguousarray(viewdirs, np.float32)
+        n = origins.shape[0]
+        slots = np.empty((cap,), np.int32)
+        tri = np.empty((cap,), np.int32)
+        ts = np.empty((cap,), np.float32)
+        total = self._lib.qf_bvh_intersect_packed(
+            self._handle, _f32p(origins), _f32p(viewdirs), n, max_hits,
+            cap, self.n_threads, _i32p(slots), _i32p(tri), _f32p(ts),
+        )
+        return slots, tri, ts, int(total)
 
     def set_uv(self, uv_face_corners):
         """Attach [n_faces, 3, 2] per-face-corner UVs for intersect_uv."""

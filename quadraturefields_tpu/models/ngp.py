@@ -33,7 +33,11 @@ from ..ops.sh import spherical_harmonics_deg4
 
 @dataclasses.dataclass(frozen=True)
 class NGPConfig:
-    head: str = "sg"  # "sg" | "mlp" | "none"
+    # "sg"     -> NGPRadianceFieldSGNew (shared-axis lobes, ngp.py:284-470)
+    # "sg_old" -> NGPRadianceFieldSG (per-channel 5-tuple lobes,
+    #             ngp.py:473-654; head dim 3 + L*3*(3+1+1))
+    # "mlp"    -> NGPRadianceField; "none" -> NGPDensityField
+    head: str = "sg"  # "sg" | "sg_old" | "mlp" | "none"
     num_dim: int = 3
     use_viewdirs: bool = False
     unbounded: bool = False
@@ -85,6 +89,8 @@ class NGPConfig:
     def head_output_dim(self) -> int:
         if self.head == "sg":
             return 3 + self.num_g_lobes * 7
+        if self.head == "sg_old":
+            return ngp_sg_old_head_output_dim(self.num_g_lobes)
         if self.head == "mlp":
             return 3
         return 0
@@ -122,7 +128,7 @@ def ngp_init(key, cfg: NGPConfig):
             bias=False,
         ),
     }
-    if cfg.head == "sg":
+    if cfg.head in ("sg", "sg_old"):
         params["mlp_head"] = mlp_init(
             k3,
             cfg.dir_enc_dim + cfg.geo_feat_dim,
@@ -205,6 +211,15 @@ def ngp_head_apply(params, embedding, dirs, cfg: NGPConfig):
         diffuse = raw[:, :3]
         sg = _spherical_gaussian_mixture(raw[:, 3:], dirs, cfg.num_g_lobes)
         return jax.nn.sigmoid(diffuse + sg)
+    if cfg.head == "sg_old":
+        diffuse = raw[:, :3]
+        # with use_viewdirs the reference evaluates the mixture on the
+        # [0,1]-remapped direction (the tcnn remap leaks into the SG
+        # dot product, _query_rgb at ngp.py:616-631) — replicated for
+        # checkpoint parity, not "fixed"
+        d_mix = (dirs + 1.0) / 2.0 if cfg.use_viewdirs else dirs
+        sg = _sg_mixture_old(raw[:, 3:], d_mix, cfg.num_g_lobes)
+        return jax.nn.sigmoid(diffuse + sg)
     return jax.nn.sigmoid(raw)
 
 
@@ -231,9 +246,14 @@ def ngp_features(params, x, aabb, cfg: NGPConfig):
 
 def ngp_features_to_rgb(features, dirs, cfg: NGPConfig):
     """Decode baked features (no MLP) -> rgb; the real-time render path.
-    Reference ngp.py:456-461."""
+    Reference ngp.py:456-461 (sg) / ngp.py:642-645 (sg_old, raw dirs)."""
     diffuse = features[:, :3]
-    sg = _spherical_gaussian_mixture(features[:, 3:], dirs, cfg.num_g_lobes)
+    if cfg.head == "sg_old":
+        sg = _sg_mixture_old(features[:, 3:], dirs, cfg.num_g_lobes)
+    else:
+        sg = _spherical_gaussian_mixture(
+            features[:, 3:], dirs, cfg.num_g_lobes
+        )
     return jax.nn.sigmoid(diffuse + sg)
 
 

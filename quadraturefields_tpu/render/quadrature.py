@@ -328,6 +328,26 @@ def pack_hit_rows(hits: HitRows, cap: int) -> PackedHits:
     )
 
 
+def packed_hits_from_host(slots, tri_ids, ts, num_valid, n_rays: int,
+                          max_hits: int) -> PackedHits:
+    """Wrap a host-compacted hit stream (MeshIntersection.
+    intersect_packed) as PackedHits: ray indices and validity derive on
+    device from the slots, so the upload stays (slots, tri, ts) =
+    12 B/hit. Identical layout to pack_hit_rows on the dense image of
+    the same hits."""
+    n = n_rays * max_hits
+    valid = slots < n
+    s = jnp.clip(slots, 0, n - 1)
+    ray_indices = jnp.where(
+        valid, s // max_hits, jnp.int32(n_rays)
+    ).astype(jnp.int32)
+    return PackedHits(
+        ray_indices=ray_indices, slots=slots, tri_ids=tri_ids, ts=ts,
+        valid=valid,
+        num_valid=jnp.asarray(num_valid, jnp.int32),
+    )
+
+
 def packed_ray_mask(ph: PackedHits, n_rays: int, cap: int):
     """[n_rays] bool: rays whose hits were fully packed. When the cap
     truncates (num_valid > cap), every ray at or after the one holding
@@ -417,29 +437,100 @@ def render_finetune_packed(
     R, H = hits.ts.shape
     cap = min(int(pack_cap), R * H)
     ph = pack_hit_rows(hits, cap)
-    M = ph.ts.shape[0]
-    ray = jnp.clip(ph.ray_indices, 0, R - 1)
     s = jnp.clip(ph.slots, 0, R * H - 1)
-    d = viewdirs[ray]                              # [M, 3]
-    xyzs = origins[ray] + d * ph.ts[:, None]
-
-    # deformation at hit points (scalar field broadcast over xyz:
-    # reference utils.py:557-571 with output_dim 1)
-    del_scalar = field_apply_fn(field_params, xyzs, field_cfg)[:, 0]
-    del_vector = jnp.tanh(del_scalar) * scaling            # [M]
-    del_delta = del_vector * jnp.sum(d, axis=-1)           # [M]
-
-    # deformation at random barycentric vertex samples; uniforms drawn
-    # at the DENSE [R, H, 3] shape then gathered so packed == dense
-    # draw-for-draw (and the DP path can pass global-shape uniforms)
     if bary_uniforms is None:
         bary_uniforms = jax.random.uniform(key, (R, H, 3))
     u = bary_uniforms.reshape(R * H, 3)[s]                 # [M, 3]
     fv = face_vertices.reshape(R * H, 3, 3)[s]             # [M, 3, 3]
+    return _finetune_on_stream(
+        ngp_params, field_params, ph, R, origins, viewdirs, fv, u,
+        aabb, ngp_cfg, field_cfg,
+        ngp_forward_fn=ngp_forward_fn, field_apply_fn=field_apply_fn,
+        scaling=scaling, render_step_size=render_step_size,
+        bg_color=bg_color, render_bkgd=render_bkgd,
+        stop_gradient_rf=stop_gradient_rf, cap=cap,
+    )
+
+
+def render_finetune_packed_stream(
+    ngp_params,
+    field_params,
+    ph: PackedHits,
+    n_rays: int,
+    max_hits: int,
+    origins,            # [R, 3]
+    viewdirs,           # [R, 3]
+    face_verts_table,   # [F, 3, 3] device-resident world verts per face
+    aabb,
+    ngp_cfg,
+    field_cfg,
+    *,
+    ngp_forward_fn,
+    field_apply_fn,
+    scaling: float,
+    render_step_size: float,
+    bg_color: str = "white",
+    render_bkgd=None,
+    key=None,
+    bary_uniforms=None,
+    stop_gradient_rf: bool = False,
+):
+    """render_finetune_packed when the hits arrive ALREADY packed from
+    the host (MeshIntersection.intersect_packed / HitPrefetcher packed
+    mode): the upload is 12 B per actual hit and the face vertices are
+    gathered on device from the resident [F, 3, 3] table — no dense
+    [R, H] rows or [R, H, 3, 3] host gather anywhere. Numerics match
+    render_finetune_packed on the dense image of the same hits
+    (tests/test_quadrature.py)."""
+    R, H = n_rays, max_hits
+    s = jnp.clip(ph.slots, 0, R * H - 1)
+    if bary_uniforms is None:
+        # drawn at the dense [R, H, 3] shape then gathered, so the
+        # jitter matches the dense-transport path draw-for-draw
+        bary_uniforms = jax.random.uniform(key, (R, H, 3))
+    u = bary_uniforms.reshape(R * H, 3)[s]
+    fv = face_verts_table[jnp.clip(ph.tri_ids, 0)]         # [M, 3, 3]
+    return _finetune_on_stream(
+        ngp_params, field_params, ph, R, origins, viewdirs, fv, u,
+        aabb, ngp_cfg, field_cfg,
+        ngp_forward_fn=ngp_forward_fn, field_apply_fn=field_apply_fn,
+        scaling=scaling, render_step_size=render_step_size,
+        bg_color=bg_color, render_bkgd=render_bkgd,
+        stop_gradient_rf=stop_gradient_rf, cap=ph.ts.shape[0],
+    )
+
+
+def _finetune_on_stream(
+    ngp_params, field_params, ph: PackedHits, R, origins, viewdirs,
+    fv,                 # [M, 3, 3] hit-triangle vertices (pre-gathered)
+    u,                  # [M, 3] barycentric uniforms (pre-gathered)
+    aabb, ngp_cfg, field_cfg, *,
+    ngp_forward_fn, field_apply_fn, scaling, render_step_size,
+    bg_color, render_bkgd, stop_gradient_rf, cap,
+):
+    M = ph.ts.shape[0]
+    ray = jnp.clip(ph.ray_indices, 0, R - 1)
+    d = viewdirs[ray]                              # [M, 3]
+    xyzs = origins[ray] + d * ph.ts[:, None]
+
     v_samples = jnp.sum(fv * u[..., None], axis=-2) / (
         jnp.sum(u[..., None], axis=-2) + 1e-6
     )
-    del_scalar_v = field_apply_fn(field_params, v_samples, field_cfg)[:, 0]
+
+    # ONE fused deformation-field query over hit points + barycentric
+    # vertex samples (reference runs them as two batched calls,
+    # utils.py:555-566): halving the encode calls halves the backward's
+    # contribution sorts — the dominant term of the hash-grid backward
+    # (PERF_NOTES). Numerically identical (the encode is per-point).
+    f_both = field_apply_fn(
+        field_params, jnp.concatenate([xyzs, v_samples], axis=0),
+        field_cfg,
+    )[:, 0]
+    del_scalar, del_scalar_v = f_both[:M], f_both[M:]
+    # deformation at hit points (scalar field broadcast over xyz:
+    # reference utils.py:557-571 with output_dim 1)
+    del_vector = jnp.tanh(del_scalar) * scaling            # [M]
+    del_delta = del_vector * jnp.sum(d, axis=-1)           # [M]
     del_vector_v = jnp.tanh(del_scalar_v) * scaling        # [M]
 
     dh = del_delta[:, None] * d                            # [M, 3]
@@ -526,6 +617,35 @@ def render_fit_sg_packed(
     R, H = hits.ts.shape
     cap = min(int(pack_cap), R * H)
     ph = pack_hit_rows(hits, cap)
+    return render_fit_sg_packed_stream(
+        sg_params, teacher_params, ph, R, origins, viewdirs, aabb,
+        sg_cfg, teacher_cfg, ngp_forward_fn=ngp_forward_fn,
+        render_step_size=render_step_size, bg_color=bg_color,
+        render_bkgd=render_bkgd,
+    )
+
+
+def render_fit_sg_packed_stream(
+    sg_params,
+    teacher_params,
+    ph: PackedHits,
+    n_rays: int,
+    origins,
+    viewdirs,
+    aabb,
+    sg_cfg,
+    teacher_cfg,
+    *,
+    ngp_forward_fn,
+    render_step_size: float,
+    bg_color: str = "white",
+    render_bkgd=None,
+):
+    """render_fit_sg_packed on an already-packed stream (host transport
+    via MeshIntersection.intersect_packed: 12 B/hit instead of dense
+    [R, max_hits] rows)."""
+    R = n_rays
+    cap = ph.ts.shape[0]
     ray = jnp.clip(ph.ray_indices, 0, R - 1)
     d = viewdirs[ray]
     xyzs = origins[ray] + d * ph.ts[:, None]

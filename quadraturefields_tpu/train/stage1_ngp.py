@@ -5,7 +5,7 @@ step (occ-grid-sampled render, smooth-L1 + regularizer loss, Adam with
 the reference's warmup/milestone schedule) is one jitted function;
 dynamic ray-batch sizing snaps to shape buckets; evaluation renders
 full views in fixed chunks. Optionally shards the ray batch across a
-1-D device mesh (data parallel over ICI) — see parallel/mesh.py.
+1-D device mesh (data parallel over ICI) — see parallel/dp.py.
 """
 from __future__ import annotations
 
@@ -99,6 +99,10 @@ class Stage1Config:
     save_images: bool = False
     # optional jax.sharding.NamedSharding to shard the ray batch (DP)
     data_sharding: object = None
+    # ray-batch data parallelism over the first `num_devices` devices
+    # (0/1 = single-device): the train step and the occupancy refresh
+    # run under a 1-D mesh via parallel/dp.py (shard_map + ICI psum)
+    num_devices: int = 0
     # unbounded/360: "auto" switches on MIPNERF360_UNBOUNDED_SCENES
     # (reference examples/utils.py:37-45); "360"/"synthetic" force it
     scene_type: str = "auto"
@@ -292,6 +296,41 @@ class Stage1Trainer:
         self.opt_state = self.optimizer.init(self.params)
         self.step = 0
 
+        self._dp = cfg.num_devices and cfg.num_devices > 1
+        if self._dp:
+            # DP mode (VERDICT r3 #5): step + occ refresh under a 1-D
+            # mesh; params/occ replicated, ray batch sharded
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.dp import (
+                make_dp_occ_update,
+                make_dp_train_step,
+                make_mesh,
+            )
+
+            if cfg.reg_type != "occ":
+                raise NotImplementedError(
+                    "DP stage-1 supports the shipped occ regularizer"
+                )
+            self.mesh = make_mesh(cfg.num_devices)
+            self._data_sharding = NamedSharding(self.mesh, P("data"))
+            self._repl_sharding = NamedSharding(self.mesh, P())
+            self._dp_train_step = make_dp_train_step(
+                self.mesh, self.aabb, self.ngp_cfg, self.rcfg,
+                self.optimizer, o_lambda=cfg.o_lambda,
+            )
+            self._dp_occ_update = make_dp_occ_update(
+                self.mesh, self.aabb, self.ngp_cfg, self.occ_cfg,
+                self.rcfg.render_step_size,
+                contract_aabb=self.aabb if cfg.is_unbounded else None,
+            )
+            self.params = jax.device_put(self.params, self._repl_sharding)
+            self.opt_state = jax.device_put(
+                self.opt_state, self._repl_sharding
+            )
+            self.occ_state = jax.device_put(
+                self.occ_state, self._repl_sharding
+            )
         self._occ_update = jax.jit(self._occ_update_impl)
         # donate params/opt_state: train_one_step reassigns both from
         # the outputs, so the old buffers are dead — saves an HBM copy
@@ -366,24 +405,38 @@ class Stage1Trainer:
         self.key, k_occ, k_render = jax.random.split(self.key, 3)
 
         if step % self.occ_cfg.update_interval == 0:
-            self.occ_state = self._occ_update(
-                self.params, self.occ_state, step, k_occ
-            )
+            if self._dp:
+                self.occ_state = self._dp_occ_update(
+                    self.params, self.occ_state, jnp.int32(step), k_occ
+                )
+            else:
+                self.occ_state = self._occ_update(
+                    self.params, self.occ_state, step, k_occ
+                )
 
         data = self.train_dataset.fetch_train_batch()
         origins = jnp.asarray(data["rays"].origins)
         viewdirs = jnp.asarray(data["rays"].viewdirs)
         pixels = jnp.asarray(data["pixels"])
         bkgd = jnp.asarray(data["color_bkgd"])
-        if cfg.data_sharding is not None:
-            origins = jax.device_put(origins, cfg.data_sharding)
-            viewdirs = jax.device_put(viewdirs, cfg.data_sharding)
-            pixels = jax.device_put(pixels, cfg.data_sharding)
-
-        self.params, self.opt_state, loss, aux = self._train_step(
-            self.params, self.opt_state, self.occ_state,
-            origins, viewdirs, pixels, bkgd, k_render,
+        sharding = (
+            self._data_sharding if self._dp else cfg.data_sharding
         )
+        if sharding is not None:
+            origins = jax.device_put(origins, sharding)
+            viewdirs = jax.device_put(viewdirs, sharding)
+            pixels = jax.device_put(pixels, sharding)
+
+        if self._dp:
+            self.params, self.opt_state, loss, aux = self._dp_train_step(
+                self.params, self.opt_state, self.occ_state,
+                origins, viewdirs, pixels, bkgd, k_render,
+            )
+        else:
+            self.params, self.opt_state, loss, aux = self._train_step(
+                self.params, self.opt_state, self.occ_state,
+                origins, viewdirs, pixels, bkgd, k_render,
+            )
 
         n_valid = int(aux["num_valid"])
         if cfg.target_sample_batch_size > 0 and step > 100 and n_valid > 0:

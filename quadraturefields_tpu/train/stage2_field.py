@@ -68,6 +68,8 @@ class Stage2Config:
     num_lobes: int = 2  # must match the stage-1 model
     num_layers: int = 2
     log2_hashmap_size: int = 19  # stage-1 NGP table
+    n_levels: int = 16        # stage-1 NGP levels (must match ckpt)
+    n_features: int = 2       # stage-1 NGP features per level
     interp: str = "tet"       # hash-grid interpolation (hashgrid.py)
     grad_mode: str = "auto"   # table-gradient strategy (hashgrid.py)
     layout: str = "corner"    # hash-table layout — must match the
@@ -155,6 +157,8 @@ class Stage2Config:
             num_g_lobes=self.num_lobes,
             num_layers=self.num_layers,
             log2_hashmap_size=self.log2_hashmap_size,
+            n_levels=self.n_levels,
+            n_features=self.n_features,
             interp=self.interp,
             grad_mode=self.grad_mode,
             layout=self.layout,

@@ -43,7 +43,8 @@ from ..render.quadrature import (
     HitRows,
     mesh_accumulate_deformation,
     mesh_update_vertices,
-    render_finetune_packed,
+    packed_hits_from_host,
+    render_finetune_packed_stream,
     render_finetune_rows,
 )
 from ..render.renderer import RenderConfig, render_rays_occgrid
@@ -72,6 +73,8 @@ class Stage4Config:
     num_lobes: int = 0               # plain NGP head in the shipped recipe
     num_layers: int = 2
     log2_hashmap_size: int = 19
+    n_levels: int = 16        # hash-grid levels (8 for the TPU-fast
+    n_features: int = 2       # L8F4 headline config; 16x2 = tcnn parity)
     interp: str = "tet"       # hash-grid interpolation (hashgrid.py)
     grad_mode: str = "auto"   # table-gradient strategy (hashgrid.py)
     layout: str = "corner"    # hash-table layout — must match the
@@ -165,6 +168,8 @@ class Stage4Config:
             num_g_lobes=self.num_lobes,
             num_layers=self.num_layers,
             log2_hashmap_size=self.log2_hashmap_size,
+            n_levels=self.n_levels,
+            n_features=self.n_features,
             interp=self.interp,
             grad_mode=self.grad_mode,
             layout=self.layout,
@@ -260,6 +265,13 @@ class Stage4Trainer:
         n_faces = self.mesh_intersect.n_faces
         self.cache_d = jnp.zeros((n_faces, 3), jnp.float32)
         self.cache_w = jnp.full((n_faces,), 1e-8, jnp.float32)
+        # packed host transport (12 B/hit) + device-resident face-vertex
+        # table: the hash-grid queries AND the host->device upload scale
+        # with actual hits, not R*max_hits slots (PERF_NOTES round 4)
+        self._packed = cfg.pack_slack > 0
+        self.face_verts_dev = jnp.asarray(
+            self.mesh_intersect.face_vertices_table()
+        )
 
         self.params = {
             "rf": ngp_params,
@@ -306,7 +318,8 @@ class Stage4Trainer:
             )
         self.test_dataset = test_dataset
         self.prefetcher = HitPrefetcher(
-            self._make_train_batch, self.mesh_intersect, depth=2
+            self._make_train_batch, self.mesh_intersect, depth=2,
+            packed_cap=cfg.pack_cap if self._packed else None,
         )
 
         self._occ_update = jax.jit(self._occ_update_impl)
@@ -338,10 +351,12 @@ class Stage4Trainer:
 
     def _loss_fn(
         self, params, occ_state, origins, viewdirs, pixels, bkgd,
-        tri_ids, ts, valid, face_vertices, key, freeze_rf,
+        hit_args, key, freeze_rf,
     ):
+        """hit_args is mode-dependent (static python structure at trace
+        time): packed -> (slots, tri, ts, num_valid, face_verts_table);
+        dense -> (tri_ids, ts, valid, face_vertices [R,H,3,3])."""
         cfg = self.cfg
-        hits = HitRows(tri_ids=tri_ids, ts=ts, valid=valid)
         render_kwargs = dict(
             ngp_forward_fn=lambda p, x, d, a, c: (
                 lambda r: (r[0], r[1][..., 0])
@@ -354,13 +369,20 @@ class Stage4Trainer:
             key=key,
             stop_gradient_rf=freeze_rf,
         )
-        if cfg.pack_slack > 0:
-            out = render_finetune_packed(
-                params["rf"], params["field"], hits, origins, viewdirs,
-                face_vertices, self.aabb, self.ngp_cfg, self.field_cfg,
-                pack_cap=cfg.pack_cap, **render_kwargs,
+        if self._packed:
+            slots, tri, ts, num_valid, face_verts = hit_args
+            ph = packed_hits_from_host(
+                slots, tri, ts, num_valid,
+                n_rays=origins.shape[0], max_hits=cfg.max_hits,
+            )
+            out = render_finetune_packed_stream(
+                params["rf"], params["field"], ph, origins.shape[0],
+                cfg.max_hits, origins, viewdirs, face_verts,
+                self.aabb, self.ngp_cfg, self.field_cfg, **render_kwargs,
             )
         else:
+            tri_ids, ts, valid, face_vertices = hit_args
+            hits = HitRows(tri_ids=tri_ids, ts=ts, valid=valid)
             out = render_finetune_rows(
                 params["rf"], params["field"], hits, origins, viewdirs,
                 face_vertices, self.aabb, self.ngp_cfg, self.field_cfg,
@@ -396,13 +418,12 @@ class Stage4Trainer:
 
     def _train_step_impl(
         self, params, opt_state, occ_state, cache_d, cache_w,
-        origins, viewdirs, pixels, bkgd, tri_ids, ts, valid,
-        face_vertices, key, freeze_rf,
+        origins, viewdirs, pixels, bkgd, hit_args, key, freeze_rf,
     ):
         (loss, aux), grads = jax.value_and_grad(
             self._loss_fn, has_aux=True
         )(params, occ_state, origins, viewdirs, pixels, bkgd,
-          tri_ids, ts, valid, face_vertices, key, freeze_rf)
+          hit_args, key, freeze_rf)
         updates, opt_state = self.optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         cache_d, cache_w = mesh_accumulate_deformation(
@@ -437,7 +458,19 @@ class Stage4Trainer:
             self.occ_state = self._occ_update(
                 self.params, self.occ_state, step, k_occ
             )
-        batch, tri_ids, ts, valid, fv = self.prefetcher.next()
+        if self._packed:
+            batch, slots, tri, ts, total = self.prefetcher.next()
+            hit_args = (
+                jnp.asarray(slots), jnp.asarray(tri), jnp.asarray(ts),
+                jnp.asarray(np.int32(min(total, np.iinfo(np.int32).max))),
+                self.face_verts_dev,
+            )
+        else:
+            batch, tri_ids, ts, valid, fv = self.prefetcher.next()
+            hit_args = (
+                jnp.asarray(tri_ids), jnp.asarray(ts),
+                jnp.asarray(valid), jnp.asarray(fv),
+            )
         step_fn = (
             self._train_step_frozen
             if step < cfg.freeze_rf_steps
@@ -451,8 +484,7 @@ class Stage4Trainer:
             jnp.asarray(batch["rays"].viewdirs),
             jnp.asarray(batch["pixels"]),
             jnp.asarray(batch["color_bkgd"]),
-            jnp.asarray(tri_ids), jnp.asarray(ts), jnp.asarray(valid),
-            jnp.asarray(fv), k_step,
+            hit_args, k_step,
         )
         nh = int(n_hits)
         if nh > 0:
@@ -480,6 +512,9 @@ class Stage4Trainer:
         n_faces = self.mesh_intersect.n_faces
         self.cache_d = jnp.zeros((n_faces, 3), jnp.float32)
         self.cache_w = jnp.full((n_faces,), 1e-8, jnp.float32)
+        self.face_verts_dev = jnp.asarray(
+            self.mesh_intersect.face_vertices_table()
+        )
         if out_dir:
             save_ply(
                 os.path.join(out_dir, "mesh.ply"), self.mesh_intersect.mesh

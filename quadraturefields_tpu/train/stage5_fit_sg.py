@@ -30,7 +30,8 @@ from ..ops.grid import (
 )
 from ..render.quadrature import (
     HitRows,
-    render_fit_sg_packed,
+    packed_hits_from_host,
+    render_fit_sg_packed_stream,
     render_fit_sg_rows,
 )
 from ..utils.batching import bucket_num_rays
@@ -57,6 +58,8 @@ class Stage5Config:
     num_lobes: int = 6
     num_layers: int = 2
     log2_hashmap_size: int = 19
+    n_levels: int = 16        # hash-grid levels (8 for the TPU-fast
+    n_features: int = 2       # L8F4 headline config; 16x2 = tcnn parity)
     interp: str = "tet"       # hash-grid interpolation (hashgrid.py)
     grad_mode: str = "auto"   # table-gradient strategy (hashgrid.py)
     layout: str = "corner"    # hash-table layout — must match the
@@ -114,6 +117,8 @@ class Stage5Config:
             num_g_lobes=self.num_lobes,
             num_layers=self.num_layers,
             log2_hashmap_size=self.log2_hashmap_size,
+            n_levels=self.n_levels,
+            n_features=self.n_features,
             interp=self.interp,
             grad_mode=self.grad_mode,
             layout=self.layout,
@@ -127,6 +132,8 @@ class Stage5Config:
             unbounded=self.is_unbounded,
             num_layers=self.num_layers,
             log2_hashmap_size=self.log2_hashmap_size,
+            n_levels=self.n_levels,
+            n_features=self.n_features,
             interp=self.interp,
             grad_mode=self.grad_mode,
             layout=self.layout,
@@ -220,9 +227,13 @@ class Stage5Trainer:
                 upsample=cfg.up_sample,
                 seed=cfg.seed,
             )
+        # packed host transport: 12 B/hit upload instead of dense
+        # [R, max_hits] rows (stage-5 never needs face vertices at all)
+        self._packed = cfg.pack_slack > 0
         self.prefetcher = HitPrefetcher(
             self.train_dataset.fetch_train_batch, self.mesh_intersect,
             depth=2,
+            packed_cap=cfg.pack_cap if self._packed else None,
         )
         self._occ_update = jax.jit(self._occ_update_impl)
         # sg_params/opt_state are reassigned from the step outputs
@@ -245,8 +256,9 @@ class Stage5Trainer:
         )
 
     def _loss_fn(self, sg_params, origins, viewdirs, pixels, bkgd,
-                 tri_ids, ts, valid):
-        hits = HitRows(tri_ids=tri_ids, ts=ts, valid=valid)
+                 hit_args):
+        """hit_args: packed -> (slots, tri, ts, num_valid);
+        dense -> (tri_ids, ts, valid)."""
         kwargs = dict(
             ngp_forward_fn=lambda p, x, d, a, c: (
                 lambda r: (r[0], r[1][..., 0])
@@ -256,25 +268,36 @@ class Stage5Trainer:
             render_bkgd=bkgd,
         )
         ray_mask = None
-        if self.cfg.pack_slack > 0:
-            rgb, alpha, depth, _, _, ray_mask = render_fit_sg_packed(
-                sg_params, self.teacher_params, hits, origins, viewdirs,
-                self.aabb, self.sg_cfg, self.teacher_cfg,
-                pack_cap=self.cfg.pack_cap, **kwargs,
+        if self._packed:
+            slots, tri, ts, num_valid = hit_args
+            ph = packed_hits_from_host(
+                slots, tri, ts, num_valid,
+                n_rays=origins.shape[0], max_hits=self.cfg.max_hits,
             )
+            rgb, alpha, depth, _, _, ray_mask = (
+                render_fit_sg_packed_stream(
+                    sg_params, self.teacher_params, ph,
+                    origins.shape[0], origins, viewdirs,
+                    self.aabb, self.sg_cfg, self.teacher_cfg, **kwargs,
+                )
+            )
+            n_hits = ph.num_valid
         else:
+            tri_ids, ts, valid = hit_args
+            hits = HitRows(tri_ids=tri_ids, ts=ts, valid=valid)
             rgb, alpha, depth, _ = render_fit_sg_rows(
                 sg_params, self.teacher_params, hits, origins, viewdirs,
                 self.aabb, self.sg_cfg, self.teacher_cfg, **kwargs,
             )
+            n_hits = jnp.sum(valid)
         loss = smooth_l1_loss(rgb, pixels, ray_mask=ray_mask)
-        return loss, (rgb, jnp.sum(valid))
+        return loss, (rgb, n_hits)
 
     def _train_step_impl(self, sg_params, opt_state, origins, viewdirs,
-                         pixels, bkgd, tri_ids, ts, valid):
+                         pixels, bkgd, hit_args):
         (loss, (rgb, n_hits)), grads = jax.value_and_grad(
             self._loss_fn, has_aux=True
-        )(sg_params, origins, viewdirs, pixels, bkgd, tri_ids, ts, valid)
+        )(sg_params, origins, viewdirs, pixels, bkgd, hit_args)
         updates, opt_state = self.optimizer.update(
             grads, opt_state, sg_params
         )
@@ -302,7 +325,17 @@ class Stage5Trainer:
         self.key, k_occ = jax.random.split(self.key)
         if step % self.occ_cfg.update_interval == 0:
             self.occ_state = self._occ_update(self.occ_state, step, k_occ)
-        batch, tri_ids, ts, valid, _ = self.prefetcher.next()
+        if self._packed:
+            batch, slots, tri, ts, total = self.prefetcher.next()
+            hit_args = (
+                jnp.asarray(slots), jnp.asarray(tri), jnp.asarray(ts),
+                jnp.asarray(np.int32(min(total, np.iinfo(np.int32).max))),
+            )
+        else:
+            batch, tri_ids, ts, valid, _ = self.prefetcher.next()
+            hit_args = (
+                jnp.asarray(tri_ids), jnp.asarray(ts), jnp.asarray(valid),
+            )
         self.sg_params, self.opt_state, loss, n_hits, mse = \
             self._train_step(
                 self.sg_params, self.opt_state,
@@ -310,7 +343,7 @@ class Stage5Trainer:
                 jnp.asarray(batch["rays"].viewdirs),
                 jnp.asarray(batch["pixels"]),
                 jnp.asarray(batch["color_bkgd"]),
-                jnp.asarray(tri_ids), jnp.asarray(ts), jnp.asarray(valid),
+                hit_args,
             )
         nh = int(n_hits)
         if nh > 0:

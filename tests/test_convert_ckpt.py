@@ -150,3 +150,42 @@ def test_cell_layout_rejected():
                     max_resolution=64)
     with pytest.raises(ValueError, match="corner"):
         crc.convert_ngp({}, cfg)
+
+
+def test_convert_ngp_sg_old_roundtrip():
+    """NGPRadianceFieldSG (old-SG layout, reference ngp.py:473-654):
+    same BasicDecoder head state_dict shape as SG-new, head dim
+    3 + L*3*5 — the converter must ingest it unchanged."""
+    cfg = NGPConfig(
+        head="sg_old", n_levels=8, log2_hashmap_size=8,
+        max_resolution=64, geo_feat_dim=12, num_g_lobes=3,
+        hidden_size=32, num_layers=2,
+    )
+    assert cfg.head_output_dim == 48
+    params = jax.tree_util.tree_map(
+        np.asarray, ngp_init(jax.random.PRNGKey(3), cfg)
+    )
+    rng = np.random.default_rng(3)
+    hg = cfg.hashgrid
+    n_in, n_out = hg.output_dim, 1 + cfg.geo_feat_dim
+    net = _fused_blob(params["mlp_base"], n_in, n_out, rng)
+    grid = params["table"].reshape(-1).astype(np.float32)
+    sd = {"mlp_base.params": torch.from_numpy(
+        np.concatenate([net, grid]))}
+    for i, layer in enumerate(params["mlp_head"]["layers"]):
+        name = (
+            f"mlp_head.layers.{i}"
+            if i < len(params["mlp_head"]["layers"]) - 1
+            else "mlp_head.lout"
+        )
+        sd[f"{name}.weight"] = torch.from_numpy(np.asarray(layer["w"]).T)
+        sd[f"{name}.bias"] = torch.from_numpy(np.asarray(layer["b"]))
+
+    out = crc.convert_ngp(sd, cfg, blob_order="auto")
+    np.testing.assert_array_equal(out["table"], params["table"])
+    for got, want in zip(
+        out["mlp_head"]["layers"], params["mlp_head"]["layers"]
+    ):
+        np.testing.assert_allclose(got["w"], want["w"], atol=0)
+        np.testing.assert_allclose(got["b"], want["b"], atol=0)
+    assert out["mlp_head"]["layers"][-1]["w"].shape[1] == 48

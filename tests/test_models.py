@@ -154,3 +154,95 @@ def test_field_loss_double_backprop():
     assert all(np.isfinite(np.asarray(g)).all() for g in flat)
     total = sum(float(np.abs(np.asarray(g)).sum()) for g in flat)
     assert total > 0
+
+
+def _sg_old_mirror(raw, dirs, num_lobes):
+    """Numpy mirror of reference NGPRadianceFieldSG.spherical_gaussian_
+    mixture (ngp.py:559-579): per lobe, 3 per-channel 5-tuples
+    [axis(3), lambda(1), amp(1)]; a = |amp|*exp(-|lam|*(1-axis.dir))."""
+    n = raw.shape[0]
+    diffuse = raw[:, :3]
+    lobes = raw[:, 3:].reshape(n, num_lobes, 3, 5)
+    axis = lobes[..., :3]
+    axis = axis / np.linalg.norm(axis, axis=-1, keepdims=True)
+    lam = np.abs(lobes[..., 3])
+    amp = np.abs(lobes[..., 4])
+    dot = np.sum(axis * dirs[:, None, None, :], axis=-1)
+    mix = np.sum(amp * np.exp(-lam * (1.0 - dot)), axis=1)
+    return 1.0 / (1.0 + np.exp(-(diffuse + mix)))
+
+
+def test_sg_old_full_model_matches_reference_math():
+    """head='sg_old' (NGPRadianceFieldSG, reference ngp.py:473-654):
+    the full forward reproduces the per-channel SG mixture decode on
+    the head's raw output, including the reference's [0,1] direction
+    remap leaking into the mixture when use_viewdirs is on
+    (ngp.py:616-631)."""
+    import jax
+    import jax.numpy as jnp
+
+    from quadraturefields_tpu.models.ngp import (
+        NGPConfig,
+        ngp_features,
+        ngp_features_to_rgb,
+        ngp_forward,
+        ngp_init,
+        ngp_query_density,
+        ngp_sg_old_head_output_dim,
+    )
+    from quadraturefields_tpu.ops.mlp import mlp_apply
+
+    aabb = jnp.asarray([-1.5] * 3 + [1.5] * 3)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1.2, 1.2, (64, 3)).astype(np.float32)
+    d = rng.normal(size=(64, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    for use_viewdirs in (False, True):
+        cfg = NGPConfig(
+            head="sg_old", num_g_lobes=3, n_levels=4,
+            log2_hashmap_size=10, max_resolution=64, hidden_size=32,
+            use_viewdirs=use_viewdirs, compute_dtype="float32",
+        )
+        assert cfg.head_output_dim == ngp_sg_old_head_output_dim(3) == 48
+        params = ngp_init(jax.random.PRNGKey(1), cfg)
+        rgb, density = ngp_forward(
+            params, jnp.asarray(x), jnp.asarray(d), aabb, cfg
+        )
+        assert rgb.shape == (64, 3) and density.shape == (64, 1)
+        assert float(rgb.min()) >= 0 and float(rgb.max()) <= 1
+
+        # mirror: raw head output -> reference decode math
+        _, emb = ngp_query_density(
+            params, jnp.asarray(x), aabb, cfg, return_feat=True
+        )
+        if use_viewdirs:
+            from quadraturefields_tpu.ops.sh import (
+                spherical_harmonics_deg4,
+            )
+
+            d01 = (jnp.asarray(d) + 1.0) / 2.0
+            h = jnp.concatenate(
+                [spherical_harmonics_deg4(d01), emb], axis=-1
+            )
+            d_mix = np.asarray(d01)
+        else:
+            h = emb
+            d_mix = d
+        raw = np.asarray(
+            mlp_apply(params["mlp_head"], h,
+                      compute_dtype=jnp.float32)
+        )
+        want = _sg_old_mirror(raw, d_mix, 3)
+        np.testing.assert_allclose(np.asarray(rgb), want, atol=2e-5)
+
+        if not use_viewdirs:
+            # bake path parity: features + features_to_rgb == forward
+            feats = ngp_features(params, jnp.asarray(x), aabb, cfg)
+            assert feats.shape == (64, 48 + 1)
+            rgb2 = ngp_features_to_rgb(
+                feats[:, :-1], jnp.asarray(d), cfg
+            )
+            np.testing.assert_allclose(
+                np.asarray(rgb2), np.asarray(rgb), atol=2e-5
+            )

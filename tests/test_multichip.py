@@ -76,7 +76,7 @@ def test_dp_matches_single_device_loss_exact():
         step_fn = make_dp_train_step(
             mesh, aabb, ngp_cfg, rcfg, optimizer, stratified=False
         )
-        p2, _, loss = step_fn(
+        p2, _, loss, _ = step_fn(
             params, opt_state, occ_state,
             origins, viewdirs, pixels, jnp.ones(3), jax.random.PRNGKey(0),
         )
@@ -364,3 +364,91 @@ def test_dp_sp_2d_render_matches_single_device():
             np.asarray(opacity), np.asarray(ref.opacity), atol=2e-4
         )
         assert int(nv) == int(ref.num_valid)
+
+
+def test_dp_occ_update_matches_single_device():
+    """The sharded occ refresh (make_dp_occ_update) must reproduce the
+    single-device occ_grid_update: the density eval shards + gathers,
+    the EMA math is replicated, so outcomes match to float tolerance.
+    Covers warmup (full grid) AND post-warmup (rotating partition)."""
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+    from quadraturefields_tpu.models.ngp import ngp_query_density
+    from quadraturefields_tpu.ops.grid import (
+        OccGridConfig,
+        OccGridState,
+        occ_grid_update,
+    )
+    from quadraturefields_tpu.parallel.dp import make_dp_occ_update, make_mesh
+
+    aabb, ngp_cfg, rcfg, _, params, _ = ge._tiny_setup()
+    occ_cfg = OccGridConfig(resolution=16, partitions=4, warmup_steps=256)
+    res = occ_cfg.resolution
+    state = OccGridState(
+        occs=jnp.zeros((res**3,), jnp.float32),
+        binaries=jnp.ones((res,) * 3, bool),
+        aabb=jnp.asarray(aabb),
+    )
+    step_size = rcfg.render_step_size
+
+    def occ_eval_fn(x):
+        d = ngp_query_density(params, x, jnp.asarray(aabb), ngp_cfg)
+        return d[..., 0] * step_size
+
+    mesh = make_mesh(8)
+    dp_update = make_dp_occ_update(
+        mesh, aabb, ngp_cfg, occ_cfg, step_size
+    )
+    for step in (0, 512, 528):  # warmup, partition 0, partition 1
+        key = jax.random.PRNGKey(step)
+        ref = occ_grid_update(
+            state, jnp.int32(step), key, occ_eval_fn, occ_cfg
+        )
+        dp = dp_update(params, state, jnp.int32(step), key)
+        np.testing.assert_allclose(
+            np.asarray(dp.occs), np.asarray(ref.occs),
+            rtol=1e-5, atol=1e-6, err_msg=f"step={step}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dp.binaries), np.asarray(ref.binaries)
+        )
+        state = ref
+
+
+def test_stage1_trainer_dp_cli_path():
+    """Stage1Trainer(num_devices=8) — the CLI-reachable DP mode — runs
+    real train steps (incl. an occ refresh at step 0 and dynamic batch
+    resize) on the virtual 8-CPU mesh and decreases the loss
+    (VERDICT r3 #5: DP must be a product-surface feature, not only a
+    dryrun)."""
+    import numpy as np
+
+    from quadraturefields_tpu.data.fixture import write_fixture_dataset
+    from quadraturefields_tpu.train.stage1_ngp import (
+        Stage1Config,
+        Stage1Trainer,
+    )
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as root:
+        write_fixture_dataset(root, res=24, n_train=3, n_test=1)
+        cfg = Stage1Config(
+            scene="fixture", data_root=root, root=root,
+            max_steps=40, init_batch_size=512, batch_size_log2=13,
+            grid_resolution=16, render_step_size=2e-2,
+            num_lobes=0, eval_chunk=512, num_devices=8,
+            log2_hashmap_size=12,
+        )
+        t = Stage1Trainer(cfg)
+        losses = []
+        for _ in range(41):
+            loss, aux = t.train_one_step()
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert int(aux["num_valid"]) > 0
+        # training signal: the mean of the last 10 losses improves on
+        # the first 5 (loose — 41 fixture steps)
+        assert np.mean(losses[-10:]) < np.mean(losses[:5]), losses

@@ -367,3 +367,173 @@ def test_pack_hit_rows_truncation():
     np.testing.assert_array_equal(
         np.asarray(ph.ray_indices), np.asarray([0, 0, 0, 1, 1, 1, 2])
     )
+
+
+def _host_pack(tri_ids, ts, cap):
+    """Numpy model of qf_bvh_intersect_packed's compaction: valid hits
+    ray-major, depth-sorted, slots = ray*H + k, truncated at cap."""
+    R, H = tri_ids.shape
+    valid = tri_ids >= 0
+    flat = np.nonzero(valid.reshape(-1))[0]
+    total = flat.shape[0]
+    keep = flat[:cap]
+    slots = np.full((cap,), R * H, np.int32)
+    tri = np.full((cap,), -1, np.int32)
+    t = np.zeros((cap,), np.float32)
+    slots[: keep.shape[0]] = keep
+    tri[: keep.shape[0]] = tri_ids.reshape(-1)[keep]
+    t[: keep.shape[0]] = ts.reshape(-1)[keep]
+    return slots, tri, t, total
+
+
+def test_intersect_packed_matches_dense_rows():
+    """The C++ packed cast must equal the numpy compaction of its own
+    dense rows (incl. cap truncation)."""
+    from quadraturefields_tpu.geometry.native import BVH
+
+    rng = np.random.default_rng(0)
+    # stack of 4 parallel quads so rays collect multiple hits
+    verts, faces = [], []
+    for k in range(4):
+        z = 0.3 * k
+        base = len(verts)
+        verts += [[-1, -1, z], [1, -1, z], [1, 1, z], [-1, 1, z]]
+        faces += [[base, base + 1, base + 2], [base, base + 2, base + 3]]
+    bvh = BVH(np.asarray(verts, np.float32), np.asarray(faces, np.int32))
+    n = 64
+    origins = np.concatenate(
+        [rng.uniform(-0.9, 0.9, (n, 2)), np.full((n, 1), -1.0)], axis=1
+    ).astype(np.float32)
+    dirs = np.tile(np.asarray([[0, 0, 1.0]], np.float32), (n, 1))
+    tri_d, ts_d, counts = bvh.intersect(origins, dirs, max_hits=6)
+    for cap in (n * 6, 17):
+        slots, tri, t, total = bvh.intersect_packed(
+            origins, dirs, max_hits=6, cap=cap
+        )
+        es, et, ett, etotal = _host_pack(tri_d, ts_d, cap)
+        assert total == etotal
+        np.testing.assert_array_equal(slots, es)
+        np.testing.assert_array_equal(tri, et)
+        np.testing.assert_allclose(t, ett)
+
+
+def test_render_finetune_stream_matches_packed():
+    """The host-packed stream path (packed_hits_from_host +
+    render_finetune_packed_stream w/ device face table) must match the
+    dense-transport packed path bit-for-bit given the same hits and
+    bary uniforms."""
+    from quadraturefields_tpu.render.quadrature import (
+        packed_hits_from_host,
+        render_finetune_packed,
+        render_finetune_packed_stream,
+    )
+
+    origins, viewdirs, ts, valid, tri_ids, _, bary = _finetune_inputs(
+        seed=11
+    )
+    R, H = ts.shape
+    n_faces = 11
+    table = np.random.default_rng(12).normal(
+        0, 0.3, (n_faces, 3, 3)
+    ).astype(np.float32)
+    fv = table[np.maximum(tri_ids, 0)]
+    field_params = {"w": jnp.asarray([1.3, -0.7, 2.1])}
+    ngp_params = {
+        "c": jnp.asarray(np.random.default_rng(1).normal(size=(3, 3)),
+                         jnp.float32),
+        "b": jnp.float32(0.2),
+    }
+    hits = HitRows(
+        tri_ids=jnp.asarray(tri_ids), ts=jnp.asarray(ts),
+        valid=jnp.asarray(valid),
+    )
+    kwargs = dict(
+        ngp_forward_fn=_dummy_ngp_forward,
+        field_apply_fn=_dummy_field_apply,
+        scaling=0.0434,
+        render_step_size=0.005,
+        bg_color="white",
+        bary_uniforms=jnp.asarray(bary),
+    )
+    for cap in (R * H, 9):  # no-truncation AND truncating caps
+        packed = render_finetune_packed(
+            ngp_params, field_params, hits, jnp.asarray(origins),
+            jnp.asarray(viewdirs), jnp.asarray(fv), None, None, None,
+            pack_cap=cap, **kwargs,
+        )
+        slots, tri, t, total = _host_pack(tri_ids, ts, cap)
+        ph = packed_hits_from_host(
+            jnp.asarray(slots), jnp.asarray(tri), jnp.asarray(t),
+            total, R, H,
+        )
+        stream = render_finetune_packed_stream(
+            ngp_params, field_params, ph, R, H, jnp.asarray(origins),
+            jnp.asarray(viewdirs), jnp.asarray(table), None, None, None,
+            **kwargs,
+        )
+        for k in ("rgb", "alpha", "depth", "weights", "dh", "tri_ids",
+                  "valid", "ray_mask"):
+            np.testing.assert_allclose(
+                np.asarray(stream[k]), np.asarray(packed[k]),
+                rtol=1e-6, atol=1e-7, err_msg=f"{k} cap={cap}",
+            )
+        np.testing.assert_allclose(
+            float(stream["reg"]), float(packed["reg"]), rtol=1e-6
+        )
+        assert int(stream["n_hits"]) == int(packed["n_hits"])
+
+
+def test_render_fit_sg_stream_matches_packed():
+    from quadraturefields_tpu.render.quadrature import (
+        packed_hits_from_host,
+        render_fit_sg_packed,
+        render_fit_sg_packed_stream,
+    )
+
+    origins, viewdirs, ts, valid, tri_ids, _, _ = _finetune_inputs(
+        seed=13
+    )
+    R, H = ts.shape
+    sg_params = {
+        "c": jnp.asarray(np.random.default_rng(6).normal(size=(3, 3)),
+                         jnp.float32),
+        "b": jnp.float32(-0.1),
+    }
+    teacher = {
+        "c": jnp.asarray(np.random.default_rng(7).normal(size=(3, 3)),
+                         jnp.float32),
+        "b": jnp.float32(0.4),
+    }
+    hits = HitRows(
+        tri_ids=jnp.asarray(tri_ids), ts=jnp.asarray(ts),
+        valid=jnp.asarray(valid),
+    )
+    kwargs = dict(
+        ngp_forward_fn=_dummy_ngp_forward,
+        render_step_size=0.005,
+        bg_color="random",
+        render_bkgd=jnp.asarray([0.2, 0.5, 0.8]),
+    )
+    for cap in (R * H, 9):
+        out_p = render_fit_sg_packed(
+            sg_params, teacher, hits, jnp.asarray(origins),
+            jnp.asarray(viewdirs), None, None, None, pack_cap=cap,
+            **kwargs,
+        )
+        slots, tri, t, total = _host_pack(tri_ids, ts, cap)
+        ph = packed_hits_from_host(
+            jnp.asarray(slots), jnp.asarray(tri), jnp.asarray(t),
+            total, R, H,
+        )
+        out_s = render_fit_sg_packed_stream(
+            sg_params, teacher, ph, R, jnp.asarray(origins),
+            jnp.asarray(viewdirs), None, None, None, **kwargs,
+        )
+        for i, name in enumerate(("rgb", "alpha", "depth", "weights")):
+            np.testing.assert_allclose(
+                np.asarray(out_s[i]), np.asarray(out_p[i]),
+                rtol=1e-6, atol=1e-7, err_msg=f"{name} cap={cap}",
+            )
+        np.testing.assert_array_equal(
+            np.asarray(out_s[5]), np.asarray(out_p[5])
+        )

@@ -181,7 +181,11 @@ def convert_ngp(sd, cfg: NGPConfig, blob_order: str = "auto"):
         ),
         "mlp_base": fused_mlp_to_layers(mats, n_in, n_out),
     }
-    if cfg.head == "sg":
+    if cfg.head in ("sg", "sg_old"):
+        # both SG variants use a torch BasicDecoder head (reference
+        # ngp.py:365-383 new / ngp.py:546-556 old) — same Linear-stack
+        # state_dict shape, only the output dim differs (7 vs 15 per
+        # lobe; encoded in cfg.head_output_dim)
         params["mlp_head"] = linear_stack_to_layers(
             sd, "mlp_head", cfg.num_layers
         )
@@ -248,7 +252,7 @@ def main(argv=None):
     p.add_argument("--hidden_size", type=int, default=64)
     p.add_argument("--num_layers", type=int, default=2)
     p.add_argument("--head", type=str, default="sg",
-                   choices=["sg", "mlp", "none"])
+                   choices=["sg", "sg_old", "mlp", "none"])
     p.add_argument("--grid_resolution", type=int, default=128)
     p.add_argument("--unbounded", action="store_true")
     # field flags (stage 2/4: reference train_field.py / finetune)

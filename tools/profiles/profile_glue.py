@@ -2,8 +2,9 @@
 
 PERF_NOTES' round-2 accounting pins encode fwd/bwd, march, occ refresh
 and MLPs, leaving ~40 ms unattributed. This times, at the round-3
-headline config (layout=cell, n_levels/features configurable via argv
-as L F, default 8 4, grad_payload=bf16pair):
+headline config (layout=cell; argv selects [L F PAYLOAD], default
+8 4 bf16factor; QF_GLUE_PAYLOAD overrides PAYLOAD when only L F are
+passed positionally):
 
   full       jitted train step (value_and_grad + adam, donated)
   grad_only  value_and_grad without the optimizer
@@ -14,7 +15,7 @@ as L F, default 8 4, grad_payload=bf16pair):
  =>  adam ≈ full − grad_only, bwd ≈ grad_only − fwd_only,
      compose_fwd ≈ fwd_only − march − encode/mlp fwd (profile_r3).
 
-Run (idle chip): python tools/profiles/profile_glue.py [L F]
+Run (idle chip): python tools/profiles/profile_glue.py [L F PAYLOAD]
 """
 import functools
 import os

@@ -31,7 +31,10 @@ from quadraturefields_tpu.utils.checkpoint import (
 
 T0 = time.time()
 LADDER = {}
-CKPT = "/tmp/qf_tpu_prod/stage_ckpts"
+# stage checkpoints + artifacts are namespaced by encoding so a
+# headline run never resumes from incompatible corner-layout artifacts
+ENC_NAME = os.environ.get("QF_PROD_ENC", "headline")
+CKPT = f"/tmp/qf_tpu_prod_{ENC_NAME}/stage_ckpts"
 os.makedirs(CKPT, exist_ok=True)
 
 
@@ -46,8 +49,8 @@ def lap(msg):
 
 from quadraturefields_tpu.data.fixture import write_fixture_dataset
 
-data_root = "/tmp/qf_tpu_prod/data"
-out_dir = "/tmp/qf_tpu_prod/out"
+data_root = "/tmp/qf_tpu_prod/data"  # fixture data is encoding-agnostic
+out_dir = f"/tmp/qf_tpu_prod_{ENC_NAME}/out"
 os.makedirs(out_dir, exist_ok=True)
 if not os.path.exists(
     os.path.join(data_root, "fixture", "transforms_test.json")
@@ -57,12 +60,25 @@ lap("fixture ready (200x200, 12 train / 2 test)")
 
 from quadraturefields_tpu.train.stage1_ngp import Stage1Config, Stage1Trainer
 
+# Encoding selector (VERDICT r3 #3): "headline" = the TPU-fast cell
+# L8F4 bf16factor config bench.py's primary metric measures — now the
+# default, so the production run validates the measured config
+# end-to-end; QF_PROD_ENC=corner reruns the tcnn-parity layout (the
+# round-3 33.10 dB ladder).
+if ENC_NAME == "headline":
+    ENC = dict(layout="cell", grad_payload="bf16factor",
+               n_levels=8, n_features=4)
+else:
+    ENC = dict(layout="corner", grad_payload="f32",
+               n_levels=16, n_features=2)
+
 t_stage = time.time()
 cfg1 = Stage1Config(
     scene="fixture", data_root=data_root, root=out_dir,
     max_steps=1200, init_batch_size=4096, batch_size_log2=16,
     grid_resolution=128, render_step_size=5e-3,
     num_lobes=0, eval_chunk=2048, ckpt_every=10**9, log_every=400,
+    **ENC,
 )
 t1 = Stage1Trainer(cfg1)
 if _done("stage1"):
@@ -95,6 +111,7 @@ cfg2 = Stage2Config(
     render_step_size=5e-3, num_lobes=0,
     field_log2_hashmap_size=19, field_max_res=256,
     grid_export_size=256, ckpt_every=10**9, log_every=10**9,
+    **ENC,
 )
 if os.path.exists(os.path.join(out_dir, "grads_valid.npy")) and \
         os.path.exists(
@@ -149,6 +166,7 @@ cfg4 = Stage4Config(
     mesh_update_every=200, ckpt_every=10**9, log_every=10**9,
     scaling=0.0434, max_num_rays=1 << 16,
     field_log2_hashmap_size=21, field_max_res=512,
+    **ENC,
 )
 t4 = Stage4Trainer(
     cfg4, ngp_params=t1.params, occ_state=t1.occ_state, mesh=smp
@@ -191,6 +209,7 @@ cfg5 = Stage5Config(
     max_steps=600, init_batch_size=4096, batch_size_log2=16,
     grid_resolution=128, render_step_size=5e-3, num_lobes=3,
     up_sample=2, max_hits=25, max_num_rays=1 << 16,
+    **ENC,
 )
 t5 = Stage5Trainer(
     cfg5, teacher_params=t4.params["rf"], occ_state=t4.occ_state,
