@@ -398,6 +398,49 @@ def _cell_tet_sparse(x, cfg: HashGridConfig):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _expand_lf_selector(L: int, C: int, F: int):
+    """Constant 0/1 [L*F, L*C*F] matrix expanding g[n, (l,f)] to
+    corner lanes (l, c, f) as one 2-D matmul. jnp.tile/repeat lane
+    expansions lower to a 3-D broadcast whose (C, F) minor dims
+    tile-pad (8,128)-wise when unfused — 21.5 GB at stage-4 scale."""
+    import numpy as _np
+
+    R = _np.zeros((L * F, L * C * F), _np.float32)
+    for l in range(L):
+        for c in range(C):
+            for f in range(F):
+                R[l * F + f, (l * C + c) * F + f] = 1.0
+    return R
+
+
+@functools.lru_cache(maxsize=None)
+def _expand_w_selector(L: int, C: int, F: int):
+    """Constant 0/1 [L*C, L*C*F] matrix expanding w[n, (l,c)] to
+    (l, c, f) lanes (each corner weight replicated per feature)."""
+    import numpy as _np
+
+    W = _np.zeros((L * C, L * C * F), _np.float32)
+    for lc in range(L * C):
+        for f in range(F):
+            W[lc, lc * F + f] = 1.0
+    return W
+
+
+@functools.lru_cache(maxsize=None)
+def _corner_sum_selector(L: int, C: int, F: int):
+    """Constant 0/1 [L*C*F, L*F] matrix folding the corner sum
+    out[n, (l,f)] = sum_c prod[n, (l,c,f)] as one 2-D matmul."""
+    import numpy as _np
+
+    S = _np.zeros((L * C * F, L * F), _np.float32)
+    for l in range(L):
+        for c in range(C):
+            for f in range(F):
+                S[(l * C + c) * F + f, l * F + f] = 1.0
+    return S
+
+
 def _cell_fwd_impl(table, x, cfg: HashGridConfig):
     x = jnp.clip(x, 0.0, 1.0)
     n = x.shape[0]
@@ -407,10 +450,33 @@ def _cell_fwd_impl(table, x, cfg: HashGridConfig):
     for l in range(L):
         rows_levels.append(table[idx[:, l]].astype(jnp.float32))
     rows = jnp.concatenate(rows_levels, axis=1)          # [N, L*8*F]
-    wf = jnp.repeat(w8, F, axis=1)                       # [N, L*8*F]
-    out = (rows * wf).reshape(n, L, 8, F)
-    out = jnp.sum(out, axis=2).reshape(n, L * F)
+    wf = w8 @ jnp.asarray(_expand_w_selector(L, 8, F))   # [N, L*8*F]
+    # corner contraction folded as a 2-D selector matmul: the
+    # `.reshape(n, L, 8, F).sum(axis=2)` form normalizes to a
+    # [n*L, 8, F] HLO whose (8, F) minor dims tile-pad (8,128)-wise
+    # when XLA fails to fuse it — a 21.5 GB allocation at stage-4
+    # scale (n=655k hits; PERF_NOTES round 4)
+    out = (rows * wf) @ jnp.asarray(_corner_sum_selector(L, 8, F))
     return out, (idx, w8, rows, x)
+
+
+def _fold_dL_dw(rows2d, g32, n, L, C, F):
+    """dL_dw[n, (l,c)] = sum_f rows2d[n, (l,c,f)] * g[n, (l,f)] with no
+    3-D intermediate: the g expansion tiles along lanes (2-D-safe) and
+    the F-reduction is a matmul with a tiny constant 0/1 selector.
+    The direct `(rows * g_rep).reshape(n, L*C, F).sum(-1)` form
+    tile-pads its (C, F) minor dims (8,128)-wise — a 10 GB HLO temp at
+    stage-4 scale (n=2.6M, OOM; PERF_NOTES round 4)."""
+    import numpy as _np
+
+    gf = g32.reshape(n, L * F) @ jnp.asarray(
+        _expand_lf_selector(L, C, F)
+    )                                                     # [n, LCF]
+    S = _np.zeros((L * C * F, L * C), _np.float32)
+    for lc in range(L * C):
+        for f in range(F):
+            S[lc * F + f, lc] = 1.0
+    return (rows2d * gf) @ jnp.asarray(S)                 # [n, LC]
 
 
 def _cell_bwd(cfg: HashGridConfig, saved, g):
@@ -424,7 +490,16 @@ def _cell_bwd(cfg: HashGridConfig, saved, g):
     mode = cfg.grad_mode
     if mode == "auto":
         on_accel = jax.default_backend() != "cpu"
-        mode = "sorted" if on_accel else "exact"
+        # The windowed-MXU sweep walks the WHOLE table (cost ∝ rows,
+        # ~0.3 µs/row on v5e — DMA-latency bound, window-height
+        # invariant); the flat scatter costs ∝ contributions
+        # (~0.1 µs/row-scatter). Sorted wins for training-scale NGP
+        # tables (stage-1: 439k rows vs 8.4M contribs) and loses ~3x
+        # for huge sparse-touch tables like the T=2^24 deformation
+        # field (18.4M rows vs 21M contribs) — measured in
+        # tools/profiles/profile_fieldop.py, PERF_NOTES round 4.
+        sweep_heavy = cfg.total_entries * 3 > n * L
+        mode = "sorted" if (on_accel and not sweep_heavy) else "exact"
     if (mode == "sorted" and cfg.grad_payload == "bf16factor"
             and cfg.interp == "tet" and F % 2 == 0):
         # factorized payload: carry the 4 Kuhn weights + F upstream
@@ -473,12 +548,17 @@ def _cell_bwd(cfg: HashGridConfig, saved, g):
         ).astype(table_dtype)
     else:
         # contribution rows r[nl, c*F+f] = w8[nl, c] * g[nl, f], built
-        # in 2D (lane repeat/tile) — the [n, L, 8, F] outer-product
-        # form tile-pads its (8, F) minor dims to (8, 128), a 64x HBM
-        # blowup measured at 23 ms/step (profiles/profile_cell_bwd.py)
+        # in 2D via constant selector matmuls — both the 3-D
+        # outer-product form AND jnp.repeat/tile lane expansions lower
+        # to (8, F)-minor HLOs that tile-pad to (8, 128), a 32-64x HBM
+        # blowup (23 ms/step at stage-1 scale, 86 GB compile-OOM at
+        # the stage-4 field shape; profiles/profile_cell_bwd.py +
+        # PERF_NOTES round 4)
         contrib = (
-            jnp.repeat(w8.reshape(n * L, 8), F, axis=1)
-            * jnp.tile(g32.reshape(n * L, F), (1, 8))
+            (w8.reshape(n * L, 8)
+             @ jnp.asarray(_expand_w_selector(1, 8, F)))
+            * (g32.reshape(n * L, F)
+               @ jnp.asarray(_expand_lf_selector(1, 8, F)))
         )
         if cfg.grad_payload == "bf16sim":
             # CPU-testable emulation of the bf16pair quality effect:
@@ -500,13 +580,11 @@ def _cell_bwd(cfg: HashGridConfig, saved, g):
                 .astype(table_dtype)
             )
 
-    # dL/dx through the interpolation weights
-    dL_dw = jnp.sum(
-        rows.reshape(n, L * 8, F) * jnp.repeat(
-            g32.reshape(n * L, F), 8, axis=0
-        ).reshape(n, L * 8, F),
-        axis=-1,
-    )                                                    # [N, L*8]
+    # dL/dx through the interpolation weights, folded as 2-D matmuls
+    # with tiny constant 0/1 selectors: the direct 3-D
+    # [n, L*8, F] product form tile-pads its minor dims (8,128)-wise —
+    # a 10 GB HLO temp at stage-4 scale (n=2.6M) that OOM'd the step
+    dL_dw = _fold_dL_dw(rows.reshape(n, L * 8 * F), g32, n, L, 8, F)
 
     def w_of_x(xx):
         _, ww = _cell_indices_weights(jnp.clip(xx, 0.0, 1.0), cfg)
@@ -609,7 +687,12 @@ def _encode_bwd(cfg: HashGridConfig, saved, g):
         # magnitude slower than the scatter), so auto only selects it
         # on real accelerators.
         on_accel = jax.default_backend() != "cpu"
-        mode = "sorted" if (F == 2 and on_accel) else "exact"
+        # same sweep-vs-scatter economics as the cell path: the sweep
+        # is O(total_entries), the scatter O(contributions) — fall back
+        # to exact for huge sparse-touch tables (profile_fieldop.py)
+        sweep_heavy = cfg.total_entries * 3 > n * L * C
+        mode = "sorted" if (F == 2 and on_accel and not sweep_heavy) \
+            else "exact"
 
     if mode == "sorted" and F == 2:
         from .hashgrid_sorted import sorted_table_grad
@@ -619,10 +702,9 @@ def _encode_bwd(cfg: HashGridConfig, saved, g):
         d_table = sorted_table_grad(
             idx_t.reshape(-1), v0, v1, cfg.total_entries
         ).astype(table_dtype)
-        gf = jnp.tile(g.reshape(n * L, F), (1, C)).reshape(n, L * C * F)
-        dL_dw = jnp.sum(
-            (feats.reshape(n, L * C * F) * gf).reshape(n, L * C, F),
-            axis=-1,
+        dL_dw = _fold_dL_dw(
+            feats.reshape(n, L * C * F), g.astype(jnp.float32),
+            n, L, C, F,
         )
 
         def w_of_x_s(xx):
@@ -675,12 +757,9 @@ def _encode_bwd(cfg: HashGridConfig, saved, g):
         )
     d_table = d_flat.reshape(cfg.total_entries, F).astype(table_dtype)
     # dL/dx via the interpolation-weight jacobian: dL/dw[c] =
-    # sum_f feats[c,f]*g[f], again in small-pad layout
-    # tile g per corner: row pattern [g_l0, g_l1] * C matches the
-    # (l, c, f) flat order of feats
-    gf = jnp.tile(g.reshape(n * L, F), (1, C)).reshape(n, L * C * F)
-    dL_dw = jnp.sum(
-        (feats.reshape(n, L * C * F) * gf).reshape(n, L * C, F), axis=-1
+    # sum_f feats[c,f]*g[f], folded 2-D (see _fold_dL_dw)
+    dL_dw = _fold_dL_dw(
+        feats.reshape(n, L * C * F), g.astype(jnp.float32), n, L, C, F
     )
 
     def w_of_x(xx):

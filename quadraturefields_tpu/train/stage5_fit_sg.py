@@ -34,7 +34,7 @@ from ..render.quadrature import (
     render_fit_sg_packed_stream,
     render_fit_sg_rows,
 )
-from ..utils.batching import bucket_num_rays
+from ..utils.batching import bucket_num_rays, snap_pack_cap as _snap_pack_cap
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.metrics import psnr, smooth_l1_loss, ssim
 from ..utils.optim import donate_if_accelerator, reference_lr_schedule
@@ -327,8 +327,10 @@ class Stage5Trainer:
             self.occ_state = self._occ_update(self.occ_state, step, k_occ)
         if self._packed:
             batch, slots, tri, ts, total = self.prefetcher.next()
+            B = _snap_pack_cap(total, cfg.pack_cap)
             hit_args = (
-                jnp.asarray(slots), jnp.asarray(tri), jnp.asarray(ts),
+                jnp.asarray(slots[:B]), jnp.asarray(tri[:B]),
+                jnp.asarray(ts[:B]),
                 jnp.asarray(np.int32(min(total, np.iinfo(np.int32).max))),
             )
         else:

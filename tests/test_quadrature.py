@@ -537,3 +537,76 @@ def test_render_fit_sg_stream_matches_packed():
         np.testing.assert_array_equal(
             np.asarray(out_s[5]), np.asarray(out_p[5])
         )
+
+
+def test_snap_pack_cap_grid():
+    """snap_pack_cap rounds demand UP on the √2 bucket grid (a cap
+    below demand would truncate hits) and clamps to [min_cap, cap]."""
+    from quadraturefields_tpu.utils.batching import (
+        bucket_num_rays,
+        snap_pack_cap,
+    )
+
+    assert snap_pack_cap(10, 1 << 20) == 4096          # min clamp
+    assert snap_pack_cap(1 << 22, 1 << 19) == 1 << 19  # cap clamp
+    for total in (5000, 262147, 300000, 1 << 18):
+        b = snap_pack_cap(total, 1 << 20)
+        assert b >= min(total, 1 << 20)                # never truncates
+        assert b <= int(total * 1.5) or b == 4096      # bounded waste
+        assert snap_pack_cap(b, 1 << 20) == b          # idempotent
+        # ceiling counterpart of the ray grid's floor
+        assert bucket_num_rays(b) == b
+
+
+def test_render_finetune_stream_sliced_to_bucket_matches():
+    """Slicing the host-packed stream to a bucket >= total (the
+    adaptive pack cap, Stage4Trainer.train_one_step) must not change
+    the render: the dropped tail is pure padding."""
+    from quadraturefields_tpu.render.quadrature import (
+        packed_hits_from_host,
+        render_finetune_packed_stream,
+    )
+
+    origins, viewdirs, ts, valid, tri_ids, _, bary = _finetune_inputs(
+        seed=21
+    )
+    R, H = ts.shape
+    n_faces = 11
+    table = np.random.default_rng(22).normal(
+        0, 0.3, (n_faces, 3, 3)
+    ).astype(np.float32)
+    field_params = {"w": jnp.asarray([1.3, -0.7, 2.1])}
+    ngp_params = {
+        "c": jnp.asarray(np.random.default_rng(1).normal(size=(3, 3)),
+                         jnp.float32),
+        "b": jnp.float32(0.2),
+    }
+    kwargs = dict(
+        ngp_forward_fn=_dummy_ngp_forward,
+        field_apply_fn=_dummy_field_apply,
+        scaling=0.0434,
+        render_step_size=0.005,
+        bg_color="white",
+        bary_uniforms=jnp.asarray(bary),
+    )
+    cap = R * H
+    slots, tri, t, total = _host_pack(tri_ids, ts, cap)
+    assert total < cap
+    outs = []
+    for B in (cap, max(total + 3, 8)):   # full cap vs tight bucket
+        ph = packed_hits_from_host(
+            jnp.asarray(slots[:B]), jnp.asarray(tri[:B]),
+            jnp.asarray(t[:B]), total, R, H,
+        )
+        outs.append(render_finetune_packed_stream(
+            ngp_params, field_params, ph, R, H, jnp.asarray(origins),
+            jnp.asarray(viewdirs), jnp.asarray(table), None, None, None,
+            **kwargs,
+        ))
+    full, tight = outs
+    for k in ("rgb", "alpha", "depth", "ray_mask"):
+        np.testing.assert_allclose(
+            np.asarray(tight[k]), np.asarray(full[k]),
+            rtol=1e-6, atol=1e-7, err_msg=k,
+        )
+    assert int(tight["n_hits"]) == int(full["n_hits"])

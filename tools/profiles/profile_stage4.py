@@ -77,6 +77,16 @@ GROUPS = set(
     (sys.argv[2] if len(sys.argv) > 2 else
      "host,full,grad,quad,vol,prims").split(",")
 )
+# Non-donated grad programs (groups grad / quad's quad_grad / vol's
+# vol_grad) OOM even alone in a fresh process: params (2.1 GB field
+# table) + a full grads output tree + saved residuals exceed HBM
+# without the full step's donation aliasing. The step-variant groups
+# below measure DONATED optimizer steps whose loss is one branch, so
+# each fits exactly like the real step and the decomposition falls out
+# differentially:
+#   stepfrozen  full step with freeze_rf=True (backward = field only)
+#   stepquad    donated adam step on the quadrature branch alone
+#   stepvol     donated adam step on the volumetric twin alone
 
 
 class _Done(Exception):
@@ -195,6 +205,26 @@ def main():
             results["full_s"] = timed(full_step)
             opt_state = cache_d = cache_w = None
             del full_step, step_fn
+
+        if "stepfrozen" in GROUPS:
+            opt_state = trainer.opt_state
+            cache_d, cache_w = trainer.cache_d, trainer.cache_w
+            step_fn = trainer._train_step_frozen
+
+            def frozen_step():
+                nonlocal params, opt_state, cache_d, cache_w
+                params, opt_state, cache_d, cache_w, loss, nh, mse = (
+                    step_fn(
+                        params, opt_state, trainer.occ_state, cache_d,
+                        cache_w, origins, viewdirs, pixels, bkgd,
+                        hit_args, k,
+                    )
+                )
+                return loss
+
+            results["step_frozen_s"] = timed(frozen_step)
+            opt_state = cache_d = cache_w = None
+            del frozen_step, step_fn
         # the full-step program + a second non-donated grad program
         # together exceed the 15.75 G HBM (T=2^24 field table 2.1 GB,
         # Adam 2x more) — measure other groups in separate processes
@@ -264,6 +294,94 @@ def main():
             results["vol_grad_s"] = timed(
                 jax.jit(jax.value_and_grad(vol_loss)), params
             )
+            gc.collect()
+
+        for gname, branch_loss, rkey in (
+            ("stepquad", quad_loss, "step_quad_s"),
+            ("stepvol", vol_loss, "step_vol_s"),
+        ):
+            if gname not in GROUPS:
+                continue
+            import optax
+
+            opt_state = trainer.optimizer.init(params)
+
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def branch_step(p, o, _loss=branch_loss):
+                l, g = jax.value_and_grad(_loss)(p)
+                upd, o = trainer.optimizer.update(g, o, p)
+                return optax.apply_updates(p, upd), o, l
+
+            def run_branch():
+                nonlocal params, opt_state
+                params, opt_state, l = branch_step(params, opt_state)
+                return l
+
+            results[rkey] = timed(run_branch)
+            opt_state = None
+            del branch_step, run_branch
+            gc.collect()
+
+        if "fieldgrad" in GROUPS:
+            # the deformation-field encode+MLP backward alone, at the
+            # real fused shape (2*cap points, T=2^24 L16 cell table)
+            pts2 = jax.device_put(
+                np.random.default_rng(0)
+                .uniform(-0.9, 0.9, (2 * cfg.pack_cap, 3))
+                .astype(np.float32)
+            )
+            fg = jax.jit(jax.grad(
+                lambda p, x: jnp.sum(
+                    field_apply(p, x, trainer.field_cfg)
+                )
+            ))
+            results["field_grad_2M_s"] = timed(fg, params["field"], pts2)
+            del fg
+            gc.collect()
+
+        if "fieldop" in GROUPS:
+            # sorted_tet_factor_grad ALONE at the field's real stream
+            # shape: nL = 2*cap*16 contributions into the 18.4M-row
+            # cell table — isolates sort + windowed-MXU sweep from the
+            # rest of the backward
+            from quadraturefields_tpu.ops.hashgrid_sorted import (
+                sorted_tet_factor_grad,
+            )
+
+            fhg = trainer.field_cfg.hashgrid
+            nL = 2 * cfg.pack_cap * fhg.n_levels
+            rng = np.random.default_rng(1)
+            idx = jax.device_put(rng.integers(
+                0, fhg.total_entries, nL, dtype=np.int32))
+            wk = jax.device_put(
+                rng.random((nL, 4), dtype=np.float32))
+            c1 = jax.device_put(rng.integers(1, 7, nL, dtype=np.int32))
+            c2 = jax.device_put(rng.integers(1, 7, nL, dtype=np.int32))
+            gup = jax.device_put(
+                rng.random((nL, fhg.n_features), dtype=np.float32))
+            op = jax.jit(functools.partial(
+                sorted_tet_factor_grad,
+                total_entries=fhg.total_entries,
+            ))
+            results["field_sortedop_s"] = timed(op, idx, wk, c1, c2, gup)
+            results["field_stream_nL"] = int(nL)
+            del op
+            gc.collect()
+
+        if "rfgrad" in GROUPS:
+            pts1 = jax.device_put(
+                np.random.default_rng(2)
+                .uniform(-0.9, 0.9, (cfg.pack_cap, 3))
+                .astype(np.float32)
+            )
+            dirs1 = pts1 / jnp.linalg.norm(pts1, axis=1, keepdims=True)
+            rg = jax.jit(jax.grad(
+                lambda p, x, d: jnp.sum(
+                    ngp_fwd(p, x, d, trainer.aabb, trainer.ngp_cfg)[0]
+                )
+            ))
+            results["rf_grad_M_s"] = timed(rg, params["rf"], pts1, dirs1)
+            del rg
             gc.collect()
 
         # ----- primitive pieces -----
