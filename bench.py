@@ -290,6 +290,36 @@ def _stage45_loader(n_rays: int):
     return _PooledLoader(_orbit_batches(n_rays))
 
 
+def _stage45_occ_state(cfg):
+    """Occupancy for the stage-4/5 benches: the SURFACE SHELL around
+    the bumpy sphere (|r - 0.9| < 0.2) — stages 4/5 run on a converged
+    model whose occupancy has collapsed to the surface band, so a
+    solid-ball grid misrepresents the regime the volumetric twin
+    marches in (the reference's converged occupancy is equally sparse
+    on its 3090). QF_BENCH_S45_OCC=ball restores the old solid grid."""
+    import jax.numpy as jnp
+
+    from quadraturefields_tpu.ops.grid import OccGridState
+
+    res = cfg.grid_resolution
+    aabb = cfg.aabb
+    grid = np.stack(
+        np.meshgrid(*([np.linspace(aabb[0], aabb[3], res)] * 3),
+                    indexing="ij"),
+        axis=-1,
+    ).reshape(-1, 3)
+    r = np.linalg.norm(grid, axis=-1)
+    if os.environ.get("QF_BENCH_S45_OCC") == "ball":
+        occ = (r < 1.05).astype(np.float32)
+    else:
+        occ = (np.abs(r - 0.9) < 0.2).astype(np.float32)
+    return OccGridState(
+        occs=jnp.asarray(occ),
+        binaries=jnp.asarray(occ.reshape(res, res, res) > 0),
+        aabb=jnp.asarray(aabb),
+    )
+
+
 def bench_stage4(n_rays_log2: int = 17, n_iters: int = 8):
     """Stage-4 finetune step throughput at the reference hot-path shape
     (2^17 rays x 25 hits, reference utils.py:465-607 +
@@ -303,7 +333,6 @@ def bench_stage4(n_rays_log2: int = 17, n_iters: int = 8):
 
     from quadraturefields_tpu.geometry.meshio import Mesh
     from quadraturefields_tpu.models.ngp import ngp_init
-    from quadraturefields_tpu.ops.grid import OccGridState
     from quadraturefields_tpu.train.stage4_finetune import (
         Stage4Config,
         Stage4Trainer,
@@ -324,19 +353,7 @@ def bench_stage4(n_rays_log2: int = 17, n_iters: int = 8):
     loader = _stage45_loader(n_rays)
     key = jax.random.PRNGKey(0)
     ngp_params = ngp_init(key, cfg.ngp_config())
-    res = cfg.grid_resolution
-    aabb = cfg.aabb
-    grid = np.stack(
-        np.meshgrid(*([np.linspace(aabb[0], aabb[3], res)] * 3),
-                    indexing="ij"),
-        axis=-1,
-    ).reshape(-1, 3)
-    occ = (np.linalg.norm(grid, axis=-1) < 1.05).astype(np.float32)
-    occ_state = OccGridState(
-        occs=jnp.asarray(occ),
-        binaries=jnp.asarray(occ.reshape(res, res, res) > 0),
-        aabb=jnp.asarray(aabb),
-    )
+    occ_state = _stage45_occ_state(cfg)
     trainer = Stage4Trainer(
         cfg, ngp_params=ngp_params, occ_state=occ_state,
         mesh=Mesh(verts, faces), train_dataset=loader,
@@ -373,7 +390,6 @@ def bench_stage5(n_rays_log2: int = 17, n_iters: int = 8):
 
     from quadraturefields_tpu.geometry.meshio import Mesh
     from quadraturefields_tpu.models.ngp import ngp_init
-    from quadraturefields_tpu.ops.grid import OccGridState
     from quadraturefields_tpu.train.stage5_fit_sg import (
         Stage5Config,
         Stage5Trainer,
@@ -390,19 +406,7 @@ def bench_stage5(n_rays_log2: int = 17, n_iters: int = 8):
     loader = _stage45_loader(n_rays)
     key = jax.random.PRNGKey(0)
     teacher = ngp_init(key, cfg.teacher_config())
-    res = cfg.grid_resolution
-    aabb = cfg.aabb
-    grid = np.stack(
-        np.meshgrid(*([np.linspace(aabb[0], aabb[3], res)] * 3),
-                    indexing="ij"),
-        axis=-1,
-    ).reshape(-1, 3)
-    occ = (np.linalg.norm(grid, axis=-1) < 1.05).astype(np.float32)
-    occ_state = OccGridState(
-        occs=jnp.asarray(occ),
-        binaries=jnp.asarray(occ.reshape(res, res, res) > 0),
-        aabb=jnp.asarray(aabb),
-    )
+    occ_state = _stage45_occ_state(cfg)
     trainer = Stage5Trainer(
         cfg, teacher_params=teacher, occ_state=occ_state,
         mesh=Mesh(verts, faces), train_dataset=loader,

@@ -323,15 +323,16 @@ def occ_grid_sampling(
         rc = state.binaries.shape[0] // coarse_factor
         if coarse_dilation:
             dil = coarse_dilation
-        elif isinstance(state.aabb, jax.core.Tracer):
-            # under jit the aabb extent is unknown at trace time; in the
-            # marching regime dt <= fine cell, so cell >= cf*dt bounds
-            # the required radius at ceil(stride/cf)
-            dil = max(1, -(-stride // coarse_factor))
         else:
-            dil = _coarse_dilation_cells(
-                state.aabb, rc, stride, render_step_size
-            )
+            try:
+                dil = _coarse_dilation_cells(
+                    state.aabb, rc, stride, render_step_size
+                )
+            except jax.errors.TracerArrayConversionError:
+                # under jit the aabb extent is unknown at trace time;
+                # in the marching regime dt <= fine cell, so
+                # cell >= cf*dt bounds the required radius
+                dil = max(1, -(-stride // coarse_factor))
         return _two_level_march(
             state, origins, viewdirs, t_min, t_max, n_rays,
             render_step_size, max_steps, max_samples_total,

@@ -85,6 +85,9 @@ class Stage4Config:
     freeze_rf_steps: int = 300
     mesh_update_every: int = 2000
     grid_resolution: int = 128
+    # two-level march granularity for the volumetric twin (stage-1's
+    # knob, train_ngp CLI --coarse_factor; 0 = legacy single-level)
+    coarse_factor: int = 4
     render_step_size: float = 5e-3
     ckpt_every: int = 1000
     log_every: int = 100
@@ -205,6 +208,16 @@ class Stage4Config:
             max_steps = max_march_steps(
                 self.aabb, self.eff_render_step_size
             )
+        # two-level coarse march for the volumetric twin, exactly as
+        # stage-1 configures it: without it the twin marches every ray
+        # at single-dt granularity (O(R*max_steps) occupancy gathers —
+        # measured 4x slower at the 2^17-ray contract, PERF_NOTES r4)
+        from ..ops.grid import resolve_coarse_stride
+
+        stride, dil = resolve_coarse_stride(
+            -1, self.aabb, self.grid_resolution,
+            self.coarse_factor, self.eff_render_step_size,
+        )
         return RenderConfig(
             render_step_size=self.eff_render_step_size,
             near_plane=self.eff_near_plane,
@@ -213,6 +226,9 @@ class Stage4Config:
             alpha_thre=self.eff_alpha_thre,
             max_steps=max_steps,
             max_samples_total=self.target_sample_batch_size,
+            coarse_factor=0 if self.is_unbounded else self.coarse_factor,
+            coarse_stride=stride,
+            coarse_dilation=dil,
         )
 
 

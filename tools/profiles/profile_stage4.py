@@ -107,12 +107,18 @@ def timed(fn, *args, reps=REPS, warm=2, **kw):
 
 
 def main():
+    # QF_S4_FIELD_T: deformation-field log2 hashmap override (default
+    # the reference-parity 24; 21/19 are the TPU-fast candidates).
+    # QF_S4_OCC=shell: occupy only the surface band |r - 0.9| < 0.2
+    # instead of the solid ball — the converged stage-4 occupancy
+    # regime (density concentrates at the surface by stage 4).
     cfg = Stage4Config(
         scene_type="synthetic", freeze_rf_steps=0,
         init_batch_size=N_RAYS, scale=1.0,
         batch_size_log2=RAYS_LOG2 + 2,
         layout="cell", grad_payload="bf16factor",
         n_levels=8, n_features=4,
+        field_log2_hashmap_size=int(os.environ.get("QF_S4_FIELD_T", 24)),
     )
     verts, faces = bench._bumpy_sphere(200)
     loader = bench._PooledLoader(bench._orbit_batches(N_RAYS))
@@ -125,7 +131,11 @@ def main():
                     indexing="ij"),
         axis=-1,
     ).reshape(-1, 3)
-    occ = (np.linalg.norm(grid, axis=-1) < 1.05).astype(np.float32)
+    r = np.linalg.norm(grid, axis=-1)
+    if os.environ.get("QF_S4_OCC") == "shell":
+        occ = (np.abs(r - 0.9) < 0.2).astype(np.float32)
+    else:
+        occ = (r < 1.05).astype(np.float32)
     occ_state = OccGridState(
         occs=jnp.asarray(occ),
         binaries=jnp.asarray(occ.reshape(res, res, res) > 0),
