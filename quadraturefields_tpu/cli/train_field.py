@@ -41,6 +41,9 @@ def build_parser():
     p.add_argument("--grad_payload", type=str, default="f32",
                    choices=["f32", "bf16pair", "bf16sim", "bf16factor"],
                    help="cell table-gradient precision (hashgrid.py)")
+    p.add_argument("--num_devices", type=int, default=0,
+                   help="ray-batch data parallelism over the first N "
+                        "devices (0/1 = single device; parallel/dp.py)")
     return p
 
 
@@ -67,7 +70,12 @@ def main(argv=None):
         scale=args.scale,
         grid_export_size=args.grid_export_size,
         coarse_factor=args.coarse_factor,
+        num_devices=args.num_devices,
     )
+    if args.num_devices and args.num_devices > 1:
+        from ..parallel.multihost import maybe_initialize_distributed
+
+        maybe_initialize_distributed()
     Stage2Trainer(cfg).train()
 
 

@@ -428,6 +428,19 @@ def _expand_w_selector(L: int, C: int, F: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _fsum_selector(C: int, F: int):
+    """Constant 0/1 [C*F, C] matrix summing over F within each corner:
+    out[n, c] = sum_f prod[n, c*F + f]."""
+    import numpy as _np
+
+    S = _np.zeros((C * F, C), _np.float32)
+    for c in range(C):
+        for f in range(F):
+            S[c * F + f, c] = 1.0
+    return S
+
+
+@functools.lru_cache(maxsize=None)
 def _corner_sum_selector(L: int, C: int, F: int):
     """Constant 0/1 [L*C*F, L*F] matrix folding the corner sum
     out[n, (l,f)] = sum_c prod[n, (l,c,f)] as one 2-D matmul."""
@@ -446,18 +459,25 @@ def _cell_fwd_impl(table, x, cfg: HashGridConfig):
     n = x.shape[0]
     L, F = cfg.n_levels, cfg.n_features
     idx, w8 = _cell_indices_weights(x, cfg)              # [N,L], [N,L*8]
-    rows_levels = []
-    for l in range(L):
-        rows_levels.append(table[idx[:, l]].astype(jnp.float32))
-    rows = jnp.concatenate(rows_levels, axis=1)          # [N, L*8*F]
-    wf = w8 @ jnp.asarray(_expand_w_selector(L, 8, F))   # [N, L*8*F]
-    # corner contraction folded as a 2-D selector matmul: the
+    # Per-level contraction, folded as 2-D selector matmuls: the
     # `.reshape(n, L, 8, F).sum(axis=2)` form normalizes to a
     # [n*L, 8, F] HLO whose (8, F) minor dims tile-pad (8,128)-wise
-    # when XLA fails to fuse it — a 21.5 GB allocation at stage-4
-    # scale (n=655k hits; PERF_NOTES round 4)
-    out = (rows * wf) @ jnp.asarray(_corner_sum_selector(L, 8, F))
-    return out, (idx, w8, rows, x)
+    # when XLA fails to fuse it (a 21.5 GB allocation at stage-4
+    # scale), and the concatenated [N, L*8*F] rows block is itself a
+    # 4 GB working set at the khady 2^22 contract — so neither 3-D
+    # forms nor the full rows block are ever materialized, and the
+    # residuals carry only (table, x): the backward recomputes
+    # indices/weights from x (cheap hashing math) and regathers rows
+    # per level only if dL/dx is actually demanded (PERF_NOTES r4).
+    We = jnp.asarray(_expand_w_selector(1, 8, F))        # [8, 8F]
+    Sc = jnp.asarray(_corner_sum_selector(1, 8, F))      # [8F, F]
+    outs = []
+    for l in range(L):
+        rows_l = table[idx[:, l]].astype(jnp.float32)    # [N, 8F]
+        wf_l = w8[:, l * 8:(l + 1) * 8] @ We             # [N, 8F]
+        outs.append((rows_l * wf_l) @ Sc)                # [N, F]
+    out = jnp.concatenate(outs, axis=1)                  # [N, L*F]
+    return out, (table, x)
 
 
 def _fold_dL_dw(rows2d, g32, n, L, C, F):
@@ -480,11 +500,14 @@ def _fold_dL_dw(rows2d, g32, n, L, C, F):
 
 
 def _cell_bwd(cfg: HashGridConfig, saved, g):
-    idx, w8, rows, x = saved
+    table, x = saved
     table_dtype = jnp.dtype(cfg.dtype)
     n = x.shape[0]
     L, F, RW = cfg.n_levels, cfg.n_features, cfg.row_width
     g32 = g.astype(jnp.float32)
+    # recompute indices/weights from x (cheap hashing/interp math) —
+    # saving them as residuals costs 1.2 GB at the khady 2^22 contract
+    idx, w8 = _cell_indices_weights(x, cfg)
     flat_idx = idx.reshape(-1)
 
     mode = cfg.grad_mode
@@ -580,11 +603,20 @@ def _cell_bwd(cfg: HashGridConfig, saved, g):
                 .astype(table_dtype)
             )
 
-    # dL/dx through the interpolation weights, folded as 2-D matmuls
-    # with tiny constant 0/1 selectors: the direct 3-D
-    # [n, L*8, F] product form tile-pads its minor dims (8,128)-wise —
-    # a 10 GB HLO temp at stage-4 scale (n=2.6M) that OOM'd the step
-    dL_dw = _fold_dL_dw(rows.reshape(n, L * 8 * F), g32, n, L, 8, F)
+    # dL/dx through the interpolation weights, per level with lazy row
+    # regathers and 2-D selector-matmul folds (no 3-D forms, no
+    # [N, L*8*F] rows block; XLA dead-code-eliminates the gathers when
+    # d_x is unused, e.g. whenever positions are data not params)
+    Re = jnp.asarray(_expand_lf_selector(1, 8, F))       # [F, 8F]
+    dl_cols = []
+    for l in range(L):
+        rows_l = table[idx[:, l]].astype(jnp.float32)    # [N, 8F]
+        gf_l = g32[:, l * F:(l + 1) * F] @ Re            # [N, 8F]
+        # sum over F within each corner: [8F, 8] selector
+        dl_cols.append((rows_l * gf_l) @ jnp.asarray(
+            _fsum_selector(8, F)
+        ))                                               # [N, 8]
+    dL_dw = jnp.concatenate(dl_cols, axis=1)             # [N, L*8]
 
     def w_of_x(xx):
         _, ww = _cell_indices_weights(jnp.clip(xx, 0.0, 1.0), cfg)

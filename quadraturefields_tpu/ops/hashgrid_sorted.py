@@ -357,9 +357,11 @@ def _row_acc_kernel_factor(
         ke = kq >> 6
         c1 = (kq >> 3) & 7
         c2 = kq & 7
-        base = s * pay_w
-        w01 = vals_ref[:, base:base + 1]                   # [Q, 1] u32
-        w23 = vals_ref[:, base + 1:base + 2]
+        # vals lanes are BLOCK-ordered: payload i at lane i*spr + s
+        # (sorted_tet_factor_grad stages them 2-D to dodge the 32x
+        # tile-padding of a [mm, pay_w] interleaved stack)
+        w01 = vals_ref[:, s:s + 1]                         # [Q, 1] u32
+        w23 = vals_ref[:, spr + s:spr + s + 1]
         w_sel = (
             jnp.where(c_lane == 0, unpack_lo(w01), 0.0)
             + jnp.where(c_lane == c1, unpack_hi(w01), 0.0)
@@ -369,7 +371,7 @@ def _row_acc_kernel_factor(
         g_even = jnp.zeros((q, LANES), jnp.float32)
         g_odd = jnp.zeros((q, LANES), jnp.float32)
         for j in range(f_half):
-            gp = vals_ref[:, base + 2 + j:base + 3 + j]
+            gp = vals_ref[:, (2 + j) * spr + s:(2 + j) * spr + s + 1]
             g_even = g_even + jnp.where(p_lane == j, unpack_lo(gp), 0.0)
             g_odd = g_odd + jnp.where(p_lane == j, unpack_hi(gp), 0.0)
         blockm = block_lane == ke % epr
@@ -447,8 +449,15 @@ def sorted_tet_factor_grad(idx, wk, c1, c2, g, total_entries: int, *,
     cols = list(sorted_ops[1:])
     while len(cols) < pay_w:                       # dead lanes (F=2 case)
         cols.append(jnp.zeros_like(cols[0]))
-    svals = jnp.stack(cols, axis=-1)               # [mm, pay_w] u32
     mm = keys.shape[0]
+    # kernel vals layout: BLOCK order [mm/spr, pay_w*spr] with lane
+    # i*spr + s for payload i / in-row contribution s — built by pure
+    # 2-D reshape+concat. (The interleaved stack(cols, -1) form goes
+    # through a [mm, pay_w] HLO whose minor dim tile-pads 32x — a
+    # 16 GB temp at the khady 2^22 contract; PERF_NOTES round 4.)
+    svals = jnp.concatenate(
+        [c.reshape(mm // spr, spr) for c in cols], axis=1
+    )                                              # [mm/spr, LANES]
 
     if _use_interpret() and not force_kernel:
         # CPU backend: reconstruct the bf16-rounded products and use a
@@ -457,7 +466,7 @@ def sorted_tet_factor_grad(idx, wk, c1, c2, g, total_entries: int, *,
         # anyway — this branch serves the parity tests). force_kernel
         # runs the real Pallas kernel in interpret mode (kernel tests).
         return _factor_grad_reference(
-            keys, svals, total_entries, F=F, pw_plane=pw_plane
+            keys, cols, total_entries, F=F, pw_plane=pw_plane
         )
 
     n_tiles = mm // J
@@ -497,12 +506,12 @@ def sorted_tet_factor_grad(idx, wk, c1, c2, g, total_entries: int, *,
         slice_ids,
         keys_t,
         keys_q,
-        svals.reshape(mm // spr, LANES),
+        svals,
     )
     return _interleave_planes(even, odd, total_entries, pw_plane)
 
 
-def _factor_grad_reference(keys, svals, total_entries: int, *, F: int,
+def _factor_grad_reference(keys, cols, total_entries: int, *, F: int,
                            pw_plane: int):
     """XLA reference of the factor kernel's math (bit-identical modulo
     f32 summation order): unpack factors, rebuild bf16-rounded products,
@@ -521,8 +530,8 @@ def _factor_grad_reference(keys, svals, total_entries: int, *, F: int,
     c1 = ((keys >> 3) & 7).astype(jnp.int32)
     c2 = (keys & 7).astype(jnp.int32)
     w4 = jnp.stack(
-        [lo(svals[:, 0]), hi(svals[:, 0]),
-         lo(svals[:, 1]), hi(svals[:, 1])], axis=1,
+        [lo(cols[0]), hi(cols[0]),
+         lo(cols[1]), hi(cols[1])], axis=1,
     )                                              # [mm, 4]
     slots = jnp.stack(
         [jnp.zeros_like(c1), c1, c2, jnp.full_like(c1, 7)], axis=1
@@ -536,8 +545,8 @@ def _factor_grad_reference(keys, svals, total_entries: int, *, F: int,
     )                                              # [mm, 8]
     gs = []
     for j in range(f_half):
-        gs.append(lo(svals[:, 2 + j]))
-        gs.append(hi(svals[:, 2 + j]))
+        gs.append(lo(cols[2 + j]))
+        gs.append(hi(cols[2 + j]))
     gF = jnp.stack(gs, axis=1)                     # [mm, F]
     contrib = (
         jnp.repeat(w8, F, axis=1) * jnp.tile(gF, (1, 8))

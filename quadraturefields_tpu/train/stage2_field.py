@@ -102,6 +102,10 @@ class Stage2Config:
     # (reference train_field.py:151-152); "360"/"synthetic" force it
     scene_type: str = "auto"
     data_factor: int = 4      # 360 loader downsample factor
+    # ray-batch data parallelism over the first N devices (0/1 =
+    # single device): field step + frozen-NGP occ refresh under a 1-D
+    # mesh via parallel/dp.py (CLI --num_devices)
+    num_devices: int = 0
 
     @property
     def is_unbounded(self) -> bool:
@@ -288,6 +292,36 @@ class Stage2Trainer:
         self.opt_state = self.optimizer.init(self.field_params)
         self.step = 0
 
+        self._dp = cfg.num_devices and cfg.num_devices > 1
+        if self._dp:
+            # ray-batch DP like stage-1 (parallel/dp.py): field step +
+            # frozen-NGP occ refresh under a 1-D mesh; params
+            # replicated, ray tensors sharded
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.dp import (
+                make_dp_field_train_step,
+                make_dp_occ_update,
+                make_mesh,
+            )
+
+            self.mesh = make_mesh(cfg.num_devices)
+            self._data_sharding = NamedSharding(self.mesh, P("data"))
+            repl = NamedSharding(self.mesh, P())
+            self._dp_train_step = make_dp_field_train_step(
+                self.mesh, self.aabb, self.ngp_cfg, self.field_cfg,
+                self.rcfg, self.optimizer,
+            )
+            self._dp_occ_update = make_dp_occ_update(
+                self.mesh, self.aabb, self.ngp_cfg, self.occ_cfg,
+                self.rcfg.render_step_size,
+                contract_aabb=self.aabb if cfg.is_unbounded else None,
+            )
+            self.field_params = jax.device_put(self.field_params, repl)
+            self.opt_state = jax.device_put(self.opt_state, repl)
+            self.ngp_params = jax.device_put(self.ngp_params, repl)
+            self.occ_state = jax.device_put(self.occ_state, repl)
+
         self._occ_update = jax.jit(self._occ_update_impl)
         # field_params/opt_state are reassigned from the step outputs
         self._train_step = jax.jit(
@@ -338,21 +372,39 @@ class Stage2Trainer:
         step = self.step
         self.key, k_occ, k_render = jax.random.split(self.key, 3)
         if step % self.occ_cfg.update_interval == 0:
-            self.occ_state = self._occ_update(
-                self.ngp_params, self.occ_state, step, k_occ
-            )
+            if self._dp:
+                self.occ_state = self._dp_occ_update(
+                    self.ngp_params, self.occ_state, jnp.int32(step),
+                    k_occ,
+                )
+            else:
+                self.occ_state = self._occ_update(
+                    self.ngp_params, self.occ_state, step, k_occ
+                )
         data = self.train_dataset.fetch_train_batch()
-        (self.field_params, self.opt_state, loss, num_valid, mse) = (
-            self._train_step(
-                self.field_params, self.opt_state, self.ngp_params,
-                self.occ_state,
-                jnp.asarray(data["rays"].origins),
-                jnp.asarray(data["rays"].viewdirs),
-                jnp.asarray(data["pixels"]),
-                jnp.asarray(data["color_bkgd"]),
-                k_render,
+        origins = jnp.asarray(data["rays"].origins)
+        viewdirs = jnp.asarray(data["rays"].viewdirs)
+        if self._dp:
+            origins = jax.device_put(origins, self._data_sharding)
+            viewdirs = jax.device_put(viewdirs, self._data_sharding)
+            (self.field_params, self.opt_state, loss, num_valid) = (
+                self._dp_train_step(
+                    self.field_params, self.opt_state, self.ngp_params,
+                    self.occ_state, origins, viewdirs,
+                    jnp.asarray(data["color_bkgd"]), k_render,
+                )
             )
-        )
+            mse = loss  # the DP step reports the distillation loss only
+        else:
+            (self.field_params, self.opt_state, loss, num_valid, mse) = (
+                self._train_step(
+                    self.field_params, self.opt_state, self.ngp_params,
+                    self.occ_state, origins, viewdirs,
+                    jnp.asarray(data["pixels"]),
+                    jnp.asarray(data["color_bkgd"]),
+                    k_render,
+                )
+            )
         nv = int(num_valid)
         if cfg.target_sample_batch_size > 0 and nv > 0:
             num_rays = int(

@@ -452,3 +452,43 @@ def test_stage1_trainer_dp_cli_path():
         # training signal: the mean of the last 10 losses improves on
         # the first 5 (loose — 41 fixture steps)
         assert np.mean(losses[-10:]) < np.mean(losses[:5]), losses
+
+
+def test_stage2_trainer_dp_cli_path():
+    """Stage2Trainer(num_devices=8) — the CLI-reachable DP mode for the
+    field-distillation stage: the sharded field step + the frozen-NGP
+    occ refresh run on the virtual 8-CPU mesh and the distillation
+    loss stays finite and decreases."""
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    from quadraturefields_tpu.data.fixture import write_fixture_dataset
+    from quadraturefields_tpu.models.ngp import ngp_init
+    from quadraturefields_tpu.train.stage2_field import (
+        Stage2Config,
+        Stage2Trainer,
+    )
+
+    with tempfile.TemporaryDirectory() as root:
+        write_fixture_dataset(root, res=24, n_train=3, n_test=1)
+        cfg = Stage2Config(
+            scene="fixture", data_root=root, root=root,
+            max_steps=30, init_batch_size=512, batch_size_log2=13,
+            grid_resolution=16, render_step_size=2e-2,
+            num_lobes=0, num_devices=8, log2_hashmap_size=12,
+            field_log2_hashmap_size=14, field_max_res=64,
+            export_grids=False,
+        )
+        t = Stage2Trainer(
+            cfg, ngp_params=ngp_init(
+                jax.random.PRNGKey(0), cfg.ngp_config()),
+        )
+        losses = []
+        for _ in range(31):
+            loss, nv, _ = t.train_one_step()
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert nv > 0
+        assert np.mean(losses[-8:]) < np.mean(losses[:5]), losses
