@@ -656,9 +656,10 @@ def bench_baked_fps():
     tri_ids, ts, _, uvs = renderer.mesh_intersect.intersect_rows_uv(
         origins, viewdirs
     )
+    hits_frame = int((tri_ids >= 0).sum())
+    cap_frame = renderer._pack_cap(n, hits_frame, None)
     slots, ts_p, uv_p = renderer.pack_hits_uv(
-        tri_ids, ts, uvs,
-        cap=renderer._pack_cap(n, int((tri_ids >= 0).sum()), None),
+        tri_ids, ts, uvs, cap=cap_frame,
     )
     slots_d = jnp.asarray(slots)
     uv_d = jnp.asarray(uv_p)
@@ -683,7 +684,13 @@ def bench_baked_fps():
         float(jnp.sum(rgb))  # real synchronization (see module docstring)
         dev_windows.append(time.perf_counter() - t0)
     device_fps = n_dev / sorted(dev_windows)[1]
-    return 1.0 / med, times, device_fps
+    # VERDICT r4 #1: the bench must record the exact device-path config
+    # so the profile_baked comparison is checkable from the JSON alone
+    return 1.0 / med, times, {
+        "fps": device_fps,
+        "hits_per_frame": hits_frame,
+        "pack_cap": cap_frame,
+    }
 
 
 def main():
@@ -787,7 +794,16 @@ def _emit(samples_per_sec, s1_windows, corner_sps, fps, fps_times,
                 round(fps, 2) if fps is not None else None
             ),
             "baked_device_fps_800x800": (
-                round(device_fps, 2) if device_fps is not None else None
+                round(device_fps["fps"], 2)
+                if isinstance(device_fps, dict) else device_fps
+            ),
+            "baked_device_hits_per_frame": (
+                device_fps.get("hits_per_frame")
+                if isinstance(device_fps, dict) else None
+            ),
+            "baked_device_pack_cap": (
+                device_fps.get("pack_cap")
+                if isinstance(device_fps, dict) else None
             ),
             "stage1_window_s": [round(t, 3) for t in s1_windows],
             "stage1_corner_samples_per_sec": (

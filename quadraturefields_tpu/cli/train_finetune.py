@@ -49,12 +49,23 @@ def build_parser():
                    help="packed-hit stream budget as a multiple of the "
                         "sample target; 0 = dense rows "
                         "(render/quadrature.py)")
+    p.add_argument("--num_devices", type=int, default=0,
+                   help="ray-batch data parallelism over the first N "
+                        "devices (0/1 = single device; parallel/dp.py "
+                        "make_dp_finetune_train_step over a 1-D mesh)")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.num_devices and args.num_devices > 1:
+        # join the jax.distributed cluster first when launched as one
+        # process of a multi-host job (env-gated no-op on one host)
+        from ..parallel.multihost import maybe_initialize_distributed
+
+        maybe_initialize_distributed()
     cfg = Stage4Config(
+        num_devices=args.num_devices,
         interp=args.interp,
         grad_mode=args.grad_mode,
         layout=args.layout,

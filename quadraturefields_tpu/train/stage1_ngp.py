@@ -419,13 +419,17 @@ class Stage1Trainer:
         viewdirs = jnp.asarray(data["rays"].viewdirs)
         pixels = jnp.asarray(data["pixels"])
         bkgd = jnp.asarray(data["color_bkgd"])
-        sharding = (
-            self._data_sharding if self._dp else cfg.data_sharding
-        )
-        if sharding is not None:
-            origins = jax.device_put(origins, sharding)
-            viewdirs = jax.device_put(viewdirs, sharding)
-            pixels = jax.device_put(pixels, sharding)
+        if self._dp:
+            from ..parallel.multihost import put_process_batch
+
+            origins, viewdirs, pixels = put_process_batch(
+                (origins, viewdirs, pixels), self.mesh,
+                self._data_sharding,
+            )
+        elif cfg.data_sharding is not None:
+            origins = jax.device_put(origins, cfg.data_sharding)
+            viewdirs = jax.device_put(viewdirs, cfg.data_sharding)
+            pixels = jax.device_put(pixels, cfg.data_sharding)
 
         if self._dp:
             self.params, self.opt_state, loss, aux = self._dp_train_step(

@@ -385,8 +385,11 @@ class Stage2Trainer:
         origins = jnp.asarray(data["rays"].origins)
         viewdirs = jnp.asarray(data["rays"].viewdirs)
         if self._dp:
-            origins = jax.device_put(origins, self._data_sharding)
-            viewdirs = jax.device_put(viewdirs, self._data_sharding)
+            from ..parallel.multihost import put_process_batch
+
+            origins, viewdirs = put_process_batch(
+                (origins, viewdirs), self.mesh, self._data_sharding
+            )
             (self.field_params, self.opt_state, loss, num_valid) = (
                 self._dp_train_step(
                     self.field_params, self.opt_state, self.ngp_params,
@@ -394,7 +397,7 @@ class Stage2Trainer:
                     jnp.asarray(data["color_bkgd"]), k_render,
                 )
             )
-            mse = loss  # the DP step reports the distillation loss only
+            mse = None  # the DP step reports the distillation loss only
         else:
             (self.field_params, self.opt_state, loss, num_valid, mse) = (
                 self._train_step(
@@ -481,10 +484,17 @@ class Stage2Trainer:
                     scale=cfg.field_scale, grid_size=256, step=step,
                 )
             if step % cfg.log_every == 0:
-                psnr = -10.0 * float(jnp.log(mse)) / np.log(10)
+                # DP steps return no rgb MSE (mse=None): logging a
+                # "psnr" derived from the distillation loss would be
+                # meaningless (ADVICE r4 low)
+                psnr_str = (
+                    "" if mse is None else
+                    f"psnr={-10.0 * float(jnp.log(mse)) / np.log(10):.2f}"
+                    " | "
+                )
                 log_fn(
                     f"elapsed={time.time() - tic:.1f}s | step={step} | "
-                    f"floss={float(loss):.5f} | psnr={psnr:.2f} | "
+                    f"floss={float(loss):.5f} | {psnr_str}"
                     f"n_samples={nv} | "
                     f"num_rays={self.train_dataset.num_rays}"
                 )

