@@ -563,8 +563,20 @@ def _factor_grad_reference(keys, cols, total_entries: int, *, F: int,
 
 def _interleave_planes(even, odd, total_entries: int, pw: int):
     """[rows_pad, LANES] even/odd feature planes -> [total_entries,
-    2*pw] rows via planar strided columns (no row-major reshape temp;
-    see _deinterleave_rows)."""
+    2*pw] rows.
+
+    Same size split as _deinterleave_rows (round 5): the planar strided
+    columns execute as per-element gathers (~7.7 ns/elem — ~54 ms/step
+    at the stage-1 headline table's 439k cell rows x 16 payload cols),
+    so small/medium tables take direct row-major reshapes through
+    padded-but-bounded temps and only the huge stage-4 field-grad
+    shapes keep the gather form."""
+    if total_entries * 512 * 3 <= 6 * (1 << 30):
+        ev2 = even.reshape(-1, pw)[:total_entries]
+        od2 = odd.reshape(-1, pw)[:total_entries]
+        return jnp.stack([ev2, od2], axis=2).reshape(
+            total_entries, 2 * pw
+        )
     ev_flat = even.reshape(-1)[: total_entries * pw]
     od_flat = odd.reshape(-1)[: total_entries * pw]
     cols = []

@@ -53,6 +53,10 @@ ENC = dict(layout="cell", grad_payload="bf16factor",
            n_levels=8, n_features=4)
 
 from quadraturefields_tpu.train.stage1_ngp import Stage1Config, Stage1Trainer
+from quadraturefields_tpu.utils.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+)
 
 cfg1 = Stage1Config(
     scene="fixture", data_root=data_root, root=out_dir,
@@ -62,43 +66,73 @@ cfg1 = Stage1Config(
     **ENC,
 )
 t1 = Stage1Trainer(cfg1)
-while t1.step <= cfg1.max_steps:
-    t1.train_one_step()
-m1 = t1.evaluate()
-lap(f"stage1 done: {m1}")
+s1_ckpt = os.path.join(root, "stage1_ckpt")
+if os.path.isdir(s1_ckpt):
+    st = load_checkpoint(s1_ckpt)
+    t1.params = st["params"]
+    t1.occ_state = t1.occ_state._replace(
+        occs=st["occs"], binaries=st["binaries"]
+    )
+    m1 = {"psnr": float(st["psnr"])}
+    lap(f"stage1 RESUMED (psnr {m1['psnr']:.2f})")
+else:
+    while t1.step <= cfg1.max_steps:
+        t1.train_one_step()
+    m1 = t1.evaluate()
+    save_checkpoint(s1_ckpt, {
+        "params": t1.params, "occs": t1.occ_state.occs,
+        "binaries": t1.occ_state.binaries,
+        "psnr": np.float32(m1["psnr"]),
+    })
+    lap(f"stage1 done: {m1}")
 
 from quadraturefields_tpu.train.stage2_field import Stage2Config, Stage2Trainer
 
-cfg2 = Stage2Config(
-    scene="fixture", data_root=data_root, root=out_dir,
-    max_steps=300, batch_size_log2=15, grid_resolution=128,
-    render_step_size=5e-3, num_lobes=0,
-    field_log2_hashmap_size=19, field_max_res=256,
-    grid_export_size=256, ckpt_every=10**9, log_every=10**9,
-    **ENC,
-)
-t2 = Stage2Trainer(cfg2, ngp_params=t1.params, occ_state=t1.occ_state)
-while t2.step <= cfg2.max_steps:
-    t2.train_one_step()
-t2.export_artifacts(out_dir)
-lap("stage2 done")
+if os.path.exists(os.path.join(out_dir, "grads_valid.npy")):
+    lap("stage2 RESUMED (artifacts on disk)")
+else:
+    cfg2 = Stage2Config(
+        scene="fixture", data_root=data_root, root=out_dir,
+        max_steps=300, batch_size_log2=15, grid_resolution=128,
+        render_step_size=5e-3, num_lobes=0,
+        field_log2_hashmap_size=19, field_max_res=256,
+        grid_export_size=256, ckpt_every=10**9, log_every=10**9,
+        **ENC,
+    )
+    t2 = Stage2Trainer(cfg2, ngp_params=t1.params, occ_state=t1.occ_state)
+    while t2.step <= cfg2.max_steps:
+        t2.train_one_step()
+    t2.export_artifacts(out_dir)
+    lap("stage2 done")
 
 from quadraturefields_tpu.geometry.extract import downsample_mesh, extract_mesh
+from quadraturefields_tpu.geometry.meshio import load_ply, save_ply
 
-mesh = extract_mesh(
-    out_dir, sigma=100.0, include_grad=True, omega=30.0, thres=0.0,
-    combine=True, grad_thres=1e-4, density_thres=5.0, save=True,
-)
-smp = downsample_mesh(mesh, vx=150.0)
-lap(f"stage3 done: {mesh.faces.shape[0]} -> {smp.faces.shape[0]} faces")
+smp_path = os.path.join(out_dir, "smp_mesh.ply")
+if os.path.exists(smp_path):
+    smp = load_ply(smp_path)
+    lap("stage3 RESUMED (smp_mesh.ply on disk)")
+else:
+    mesh = extract_mesh(
+        out_dir, sigma=100.0, include_grad=True, omega=30.0, thres=0.0,
+        combine=True, grad_thres=1e-4, density_thres=5.0, save=True,
+    )
+    smp = downsample_mesh(mesh, vx=150.0)
+    save_ply(smp_path, smp)
+    lap(f"stage3 done: {mesh.faces.shape[0]} -> {smp.faces.shape[0]}"
+        " faces")
 
 from quadraturefields_tpu.train.stage4_finetune import (
     Stage4Config,
     Stage4Trainer,
 )
 
+# upsample must match Stage4Config.up_sample: evaluate() renders the
+# upsampled ray grid and area-downsamples to the native pixels
+# (reference train_finetune.py eval contract)
 test_ds = SubjectLoader(
-    subject_id="fixture", root_fp=data_root, split="test", num_rays=None
+    subject_id="fixture", root_fp=data_root, split="test",
+    num_rays=None, upsample=2,
 )
 GATE = {"stage1_psnr": m1["psnr"]}
 for log2_T in (24, 19):

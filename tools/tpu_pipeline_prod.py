@@ -152,12 +152,22 @@ LADDER["stage3"] = {
 }
 lap(f"stage3 done: mesh {mesh.faces.shape[0]} -> {smp.faces.shape[0]} faces")
 
+# scheduling escape hatch: pre-build the cheap stages in one process
+# (their artifacts resume for free), run the expensive tail later on an
+# idle chip
+if int(os.environ.get("QF_PROD_STOP_AFTER", 6)) <= 3:
+    print("PROD PARTIAL " + json.dumps(LADDER), flush=True)
+    sys.exit(0)
+
 from quadraturefields_tpu.train.stage4_finetune import (
     Stage4Config,
     Stage4Trainer,
 )
 
 t_stage = time.time()
+# deformation-field capacity: 21 = the round-3/4 ladder value; 19 = the
+# round-5 promoted TPU-fast size (gate_stage4_field.py quality gate)
+field_T = int(os.environ.get("QF_PROD_FIELD_T", 21))
 cfg4 = Stage4Config(
     scene="fixture", data_root=data_root, root=out_dir,
     max_steps=400, init_batch_size=4096, batch_size_log2=16,
@@ -165,9 +175,10 @@ cfg4 = Stage4Config(
     up_sample=2, max_hits=25, freeze_rf_steps=100,
     mesh_update_every=200, ckpt_every=10**9, log_every=10**9,
     scaling=0.0434, max_num_rays=1 << 16,
-    field_log2_hashmap_size=21, field_max_res=512,
+    field_log2_hashmap_size=field_T, field_max_res=512,
     **ENC,
 )
+LADDER["stage4_field_log2_T"] = field_T
 t4 = Stage4Trainer(
     cfg4, ngp_params=t1.params, occ_state=t1.occ_state, mesh=smp
 )
