@@ -348,6 +348,13 @@ def bench_stage4(n_rays_log2: int = 17, n_iters: int = 8):
         batch_size_log2=n_rays_log2 + 2,
         layout="cell", grad_payload="bf16factor",
         n_levels=8, n_features=4,
+        # round-5 promote: T=2^19 deformation field (the reference uses
+        # 2^24, train_finetune.py:387-399) — quality-gated at
+        # delta -0.016 dB on the fixture pipeline
+        # (tools/profiles/gate_stage4_field.py, BASELINE.md 2026-08-21);
+        # the 2^24 table's O(T) windowed-sweep gradient was 60% of the
+        # round-4 step (PERF_NOTES)
+        field_log2_hashmap_size=19,
     )
     verts, faces = _bumpy_sphere(200)
     loader = _stage45_loader(n_rays)

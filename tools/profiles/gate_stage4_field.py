@@ -136,6 +136,12 @@ test_ds = SubjectLoader(
 )
 GATE = {"stage1_psnr": m1["psnr"]}
 for log2_T in (24, 19):
+    arm_cache = os.path.join(root, f"arm_{log2_T}.json")
+    if os.path.exists(arm_cache):
+        with open(arm_cache) as f:
+            GATE[f"T2^{log2_T}"] = json.load(f)
+        lap(f"stage4 arm T=2^{log2_T} RESUMED: {GATE[f'T2^{log2_T}']}")
+        continue
     t_arm = time.time()
     cfg4 = Stage4Config(
         scene="fixture", data_root=data_root, root=out_dir,
@@ -147,8 +153,18 @@ for log2_T in (24, 19):
         field_log2_hashmap_size=log2_T, field_max_res=512,
         **ENC,
     )
+    # each arm gets its own param/occ copies: the trainer's jitted step
+    # donates params, which deletes the shared t1 buffers for the next
+    # arm otherwise
+    import jax.numpy as jnp
+
+    arm_params = jax.tree_util.tree_map(jnp.copy, t1.params)
+    arm_occ = t1.occ_state._replace(
+        occs=jnp.copy(t1.occ_state.occs),
+        binaries=jnp.copy(t1.occ_state.binaries),
+    )
     t4 = Stage4Trainer(
-        cfg4, ngp_params=t1.params, occ_state=t1.occ_state, mesh=smp
+        cfg4, ngp_params=arm_params, occ_state=arm_occ, mesh=smp
     )
     while t4.step <= cfg4.max_steps:
         loss, nh, mse = t4.train_one_step()
@@ -161,6 +177,8 @@ for log2_T in (24, 19):
         "last_loss": float(loss),
         "wall_s": round(time.time() - t_arm, 1),
     }
+    with open(arm_cache, "w") as f:
+        json.dump(GATE[f"T2^{log2_T}"], f)
     lap(f"stage4 arm T=2^{log2_T}: {GATE[f'T2^{log2_T}']}")
 
 delta = GATE["T2^24"]["psnr"] - GATE["T2^19"]["psnr"]

@@ -49,7 +49,7 @@ for name, enc in CONFIGS.items():
         scene="fixture", data_root=root, root=f"/tmp/qf_parity/{name}",
         max_steps=STEPS, init_batch_size=8192, batch_size_log2=17,
         grid_resolution=128, render_step_size=5e-3, num_lobes=0,
-        eval_chunk=8192, ckpt_every=10**9, log_every=1000,
+        eval_chunk=2048, ckpt_every=10**9, log_every=1000,
         save_images=False, **enc,
     )
     t0 = time.time()
