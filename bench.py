@@ -724,26 +724,30 @@ def main():
     early.daemon = True
     early.start()
 
-    # primary metric: the cell-layout L=8/F=4 bf16-factor encoding (the
-    # round-3 TPU-fast headline config — factorized 5-operand backward
-    # sort, quality-gated at delta +0.017 dB vs the exact corner path
-    # at 600 equal fixture steps; the bf16pair sibling gates at 0.013
-    # dB at 600 steps / 0.001-0.004 dB at 1500-step convergence,
-    # BASELINE.md); corner (tcnn-parity) reported as an extra
+    # primary metric: the CORNER layout (exact tcnn-parity encoding,
+    # f32 table grads) — demoted the cell-L8F4 config from primary in
+    # round 5 after the non-saturating 200x200 parity run measured it
+    # -4.97 dB at standalone stage-1 (the 64px fixture gates of rounds
+    # 3-4 were ceiling-compressed; BASELINE.md 2026-08-21). The corner
+    # number is the honestly quality-bar-clean (<=0.1 dB) throughput.
     # 2^20 samples/step is the reference contract for nerf-synthetic
-    # (script/run_nerfsynthetic.sh:15-16 target_sample_batch_size);
-    # it also amortizes the ~15 ms fixed adam/donation glue — measured
-    # ladder 2^18/19/20 = 1.57/2.13/2.52M samples/s all-in
-    # (tools/profiles/bench_batch.py, 2026-08-20)
+    # (script/run_nerfsynthetic.sh:15-16 target_sample_batch_size).
     samples_per_sec, s1_windows = bench_stage1(
-        layout="cell", grad_payload="bf16factor", n_levels=8,
-        n_features=4, samples_log2=20,
+        layout="corner", samples_log2=20,
     )
     early.cancel()
+    # the cell-L8F4 bf16factor speed mode, reported as an extra: it is
+    # END-TO-END pipeline-validated (headline prod run baked 33.37 dB
+    # vs the corner chain's 33.10, BASELINE.md 2026-08-21) but trades
+    # ~5 dB of standalone stage-1 PSNR at short budgets, so it no
+    # longer carries the headline
     try:
-        corner_sps, _ = bench_stage1(layout="corner")
+        cell_sps, _ = bench_stage1(
+            layout="cell", grad_payload="bf16factor", n_levels=8,
+            n_features=4, samples_log2=20,
+        )
     except Exception as e:
-        corner_sps = repr(e)
+        cell_sps = repr(e)
     try:
         fps, fps_times, device_fps = bench_baked_fps()
     except Exception as e:  # never lose the primary metric
@@ -762,7 +766,7 @@ def main():
         emitted.set()
         s4_rays, s4_hits, bvh_rps = results["s4"]
         s5_rays, s5_hits = results["s5"]
-        _emit(samples_per_sec, s1_windows, corner_sps, fps, fps_times,
+        _emit(samples_per_sec, s1_windows, cell_sps, fps, fps_times,
               device_fps, s4_rays, s4_hits, bvh_rps, s5_rays, s5_hits)
 
     def watchdog():
@@ -786,7 +790,7 @@ def main():
     emit_and_exit()
 
 
-def _emit(samples_per_sec, s1_windows, corner_sps, fps, fps_times,
+def _emit(samples_per_sec, s1_windows, cell_sps, fps, fps_times,
           device_fps, s4_rays, s4_hits, bvh_rps, s5_rays, s5_hits):
     out = {
         "metric": "stage1_train_samples_per_sec",
@@ -813,9 +817,9 @@ def _emit(samples_per_sec, s1_windows, corner_sps, fps, fps_times,
                 if isinstance(device_fps, dict) else None
             ),
             "stage1_window_s": [round(t, 3) for t in s1_windows],
-            "stage1_corner_samples_per_sec": (
-                round(corner_sps, 1)
-                if isinstance(corner_sps, float) else corner_sps
+            "stage1_cell_l8f4_samples_per_sec": (
+                round(cell_sps, 1)
+                if isinstance(cell_sps, float) else cell_sps
             ),
             "stage4_rays_per_sec": (
                 round(s4_rays, 1) if s4_rays is not None else None

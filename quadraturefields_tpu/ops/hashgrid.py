@@ -524,7 +524,14 @@ def _cell_bwd(cfg: HashGridConfig, saved, g):
         sweep_heavy = cfg.total_entries * 3 > n * L
         mode = "sorted" if (on_accel and not sweep_heavy) else "exact"
     if (mode == "sorted" and cfg.grad_payload == "bf16factor"
-            and cfg.interp == "tet" and F % 2 == 0):
+            and cfg.interp == "tet" and F >= 4 and F % 2 == 0):
+        # F >= 4: the on-chip factor kernel's F=2 (dead-lane) variant
+        # collapsed training in the round-5 200x200 parity run
+        # (cell_l16f2_factor 20.7 dB vs corner 45.5 / cell_l8f4_factor
+        # 40.5 — BASELINE.md 2026-08-21; interpret-mode unit tests
+        # pass, so the defect is hardware-path-specific and unfixed).
+        # F=2 requests fall through to bf16pair, which was designed
+        # for feature pairs.
         # factorized payload: carry the 4 Kuhn weights + F upstream
         # gradient values (bf16-packed u32 pairs) through a (3 + F/2)-
         # operand sort — 5 ops at F=4 vs bf16pair's 17 — and recompute
