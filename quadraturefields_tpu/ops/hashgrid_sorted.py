@@ -565,24 +565,17 @@ def _interleave_planes(even, odd, total_entries: int, pw: int):
     """[rows_pad, LANES] even/odd feature planes -> [total_entries,
     2*pw] rows.
 
-    Same size split as _deinterleave_rows (round 5): the planar strided
-    columns execute as per-element gathers (~7.7 ns/elem — ~54 ms/step
-    at the stage-1 headline table's 439k cell rows x 16 payload cols),
-    so small/medium tables take direct row-major reshapes through
-    padded-but-bounded temps and only the huge stage-4 field-grad
-    shapes keep the gather form."""
-    if total_entries * 512 * 3 <= 6 * (1 << 30):
-        ev2 = even.reshape(-1, pw)[:total_entries]
-        od2 = odd.reshape(-1, pw)[:total_entries]
-        return jnp.stack([ev2, od2], axis=2).reshape(
-            total_entries, 2 * pw
-        )
-    ev_flat = even.reshape(-1)[: total_entries * pw]
-    od_flat = odd.reshape(-1)[: total_entries * pw]
+    Round-5: lane-strided 2-D slices, exactly as _deinterleave_rows —
+    the flat strided columns executed as per-element gathers
+    (~7.7 ns/elem, ~54 ms/step at the stage-1 headline table's 439k
+    cell rows x 16 payload cols); `plane[:, j::pw]` is the same
+    element sequence as `plane.reshape(-1)[j::pw]` but lowers as a
+    regular vector pattern (58x faster at the corner-grad shape, no
+    padded temps; see _deinterleave_rows)."""
     cols = []
     for j in range(pw):
-        cols.append(ev_flat[j::pw])
-        cols.append(od_flat[j::pw])
+        cols.append(even[:, j::pw].reshape(-1)[:total_entries])
+        cols.append(odd[:, j::pw].reshape(-1)[:total_entries])
     return jnp.stack(cols, axis=0).T
 
 
@@ -809,22 +802,20 @@ def _deinterleave_rows(out, total_entries: int, rw: int):
     transpose-of-[rw, E] form is the column-major layout the resident
     table already uses).
 
-    BUT the planar slices execute as per-element gathers (~7.7 ns/elem
-    measured): 36 ms at the baked frame's 640k segments vs 3.4 ms for
-    the direct reshape (diag 2026-08-20) — the planar-only form was the
-    round-4 regression behind BOTH the baked 11.6-vs-35.9 FPS gap and
-    the 868k->497k corner-layout control drop (VERDICT r4 weak #1/#6).
-    So: direct reshape whenever the padded temp fits (~512 B/row
-    post-tiling regardless of rw), planar slices only at entry counts
-    where it would blow HBM. The 6 GB cutoff admits the corner-layout
-    stage-1 table grad (8.4M entries -> 4.3 GB temp next to a 67 MB
-    table) and excludes the stage-4 T=2^24 field grad (18.5M entries ->
-    9.5 GB next to a 2.1 GB table x3 adam copies, the documented
-    OOM)."""
-    if total_entries * 512 <= 6 * (1 << 30):  # padded-temp budget
-        return out.reshape(-1, rw)[:total_entries]
-    flat = out.reshape(-1)[: total_entries * rw]
-    cols = [flat[j::rw] for j in range(rw)]
+    BUT the FLAT strided slices (`flat[j::rw]`) execute as per-element
+    gathers (~7.7 ns/elem measured): 36 ms at the baked frame's 640k
+    segments, 146 ms at the corner table-grad's 8.4M — the round-4
+    regression behind BOTH the baked 11.6-vs-35.9 FPS gap and the
+    868k->497k corner-layout control drop (VERDICT r4 weak #1/#6).
+    Round-5 fix: slice component j as the LANE-strided 2-D slice
+    `out[:, j::rw]` instead — same elements in the same order (lane
+    l%rw==j, row-major), but a regular vector pattern XLA lowers
+    without gathers OR padded [E, rw] temps. Measured at the corner
+    shape (E=8.4M, rw=2): flat slices 145.6 ms, direct row-major
+    reshape 13.9 ms (and a multi-GB 32x-padded relayout temp that
+    compile-OOMs the 2^20 corner step), lane-strided **2.5 ms**
+    (/tmp/diag_deint2.py 2026-08-21)."""
+    cols = [out[:, j::rw].reshape(-1)[:total_entries] for j in range(rw)]
     return jnp.stack(cols, axis=0).T
 
 
