@@ -732,9 +732,23 @@ def main():
     # number is the honestly quality-bar-clean (<=0.1 dB) throughput.
     # 2^20 samples/step is the reference contract for nerf-synthetic
     # (script/run_nerfsynthetic.sh:15-16 target_sample_batch_size).
-    samples_per_sec, s1_windows = bench_stage1(
-        layout="corner", samples_log2=20,
-    )
+    # batch fallback ladder: the corner backward's sort staging pads
+    # [2, N, 4] temps 32x and compile-OOMs at the 2^20 contract batch
+    # on the 16 G v5e (measured 17.52 G demand, 2026-08-21) — a padding
+    # problem to fix properly next round (same family as the
+    # lane-strided deinterleave fix); until then measure at the largest
+    # batch that compiles and record which
+    samples_per_sec = None
+    for s1_log2 in (20, 19, 18):
+        try:
+            samples_per_sec, s1_windows = bench_stage1(
+                layout="corner", samples_log2=s1_log2,
+            )
+            break
+        except Exception as e:
+            s1_err = repr(e)
+    if samples_per_sec is None:
+        raise RuntimeError(f"corner bench failed at all scales: {s1_err}")
     early.cancel()
     # the cell-L8F4 bf16factor speed mode, reported as an extra: it is
     # END-TO-END pipeline-validated (headline prod run baked 33.37 dB
@@ -766,7 +780,8 @@ def main():
         emitted.set()
         s4_rays, s4_hits, bvh_rps = results["s4"]
         s5_rays, s5_hits = results["s5"]
-        _emit(samples_per_sec, s1_windows, cell_sps, fps, fps_times,
+        _emit(samples_per_sec, s1_windows, s1_log2, cell_sps, fps,
+              fps_times,
               device_fps, s4_rays, s4_hits, bvh_rps, s5_rays, s5_hits)
 
     def watchdog():
@@ -790,8 +805,9 @@ def main():
     emit_and_exit()
 
 
-def _emit(samples_per_sec, s1_windows, cell_sps, fps, fps_times,
-          device_fps, s4_rays, s4_hits, bvh_rps, s5_rays, s5_hits):
+def _emit(samples_per_sec, s1_windows, s1_log2, cell_sps, fps,
+          fps_times, device_fps, s4_rays, s4_hits, bvh_rps, s5_rays,
+          s5_hits):
     out = {
         "metric": "stage1_train_samples_per_sec",
         "value": round(samples_per_sec, 1),
@@ -817,6 +833,7 @@ def _emit(samples_per_sec, s1_windows, cell_sps, fps, fps_times,
                 if isinstance(device_fps, dict) else None
             ),
             "stage1_window_s": [round(t, 3) for t in s1_windows],
+            "stage1_samples_log2": s1_log2,
             "stage1_cell_l8f4_samples_per_sec": (
                 round(cell_sps, 1)
                 if isinstance(cell_sps, float) else cell_sps
