@@ -736,8 +736,21 @@ def _encode_bwd(cfg: HashGridConfig, saved, g):
     if mode == "sorted" and F == 2:
         from .hashgrid_sorted import sorted_table_grad
 
-        v0 = (w_t * g_t[:, 0:1, :]).reshape(-1)
-        v1 = (w_t * g_t[:, 1:2, :]).reshape(-1)
+        # stage the contribution products strictly 2-D ([L*C, N],
+        # N-minor) instead of the 3-D [L, C, N] broadcast form — same
+        # flat (L, C, N) element order, one fewer small-minor shape for
+        # layout assignment to permute. NOTE: this alone does NOT fix
+        # the corner 2^20 compile-OOM; the ~12 x 1 GB [2, N, 4]-minor
+        # 32x-padded temps persist after it (same 17.52 G demand), so
+        # they originate elsewhere in this branch — next suspect is the
+        # jax.vjp(w_of_x_s) pullback through _corner_indices_weights
+        # (BASELINE.md 2026-08-21; bench.py falls back 2^20->19->18
+        # meanwhile).
+        w2 = w_t.reshape(L * C, n)
+        g0 = jnp.repeat(g_t[:, 0, :], C, axis=0)     # [L*C, N]
+        g1 = jnp.repeat(g_t[:, 1, :], C, axis=0)
+        v0 = (w2 * g0).reshape(-1)
+        v1 = (w2 * g1).reshape(-1)
         d_table = sorted_table_grad(
             idx_t.reshape(-1), v0, v1, cfg.total_entries
         ).astype(table_dtype)
