@@ -763,8 +763,27 @@ def _encode_bwd(cfg: HashGridConfig, saved, g):
             _, ww = _corner_indices_weights(jnp.clip(xx, 0.0, 1.0), cfg)
             return ww
 
-        _, pullback_s = jax.vjp(w_of_x_s, x)
-        (d_x_s,) = pullback_s(dL_dw)
+        def _pull(args):
+            xx, gw = args
+            _, pb = jax.vjp(w_of_x_s, xx)
+            return pb(gw)[0]
+
+        # the weight pullback is elementwise over N but its autodiff
+        # intermediates ([2, N, 4]-minor chunks, 32x tile padding) peak
+        # at ~1 GB each at N=2^20 and compile-OOM the contract batch
+        # (17.52 G demand, BASELINE.md 2026-08-21); a sequential
+        # lax.map over row chunks bounds them at chunk granularity with
+        # identical numerics
+        _PULL_CHUNK = 1 << 18
+        if n > _PULL_CHUNK and n % _PULL_CHUNK == 0:
+            k = n // _PULL_CHUNK
+            d_x_s = jax.lax.map(
+                _pull,
+                (x.reshape(k, _PULL_CHUNK, 3),
+                 dL_dw.reshape(k, _PULL_CHUNK, L * C)),
+            ).reshape(n, 3)
+        else:
+            d_x_s = _pull((x, dL_dw))
         return d_table, d_x_s
     elif mode == "sorted":
         mode = "exact"
